@@ -1,0 +1,172 @@
+"""Projective TSDF integration: the hot op of the framework.
+
+TPU-native re-design of ``TSDFVolumeOctree::integrateCloud`` / ``updateVoxel``
+(``/root/reference/include/cpu_tsdf/impl/tsdf_volume_octree.hpp:48-218``).
+
+The reference is voxel-centric (project each octree voxel center into the depth
+image, recursively splitting near the surface). Here the volume is a dense SoA
+grid, so integration is one fused elementwise-plus-gather computation over all
+voxels: project every voxel center, gather its depth pixel, apply the
+truncate -> normalize -> weighted-average -> cap update. No recursion, no
+data-dependent control flow — XLA fuses the whole thing into a few
+bandwidth-bound loops, and the same function shards over a device mesh by slab
+(see :mod:`cpu_tsdf_tpu.parallel`).
+
+Semantics replicated exactly from the reference (per finest voxel):
+  * sensor-bound and projection gating       hpp:146-153
+  * d_new = depth(u,v) - z_cam               hpp:159 (projective, not Euclidean)
+  * clamp +max_dist_pos; DROP beyond -max_dist_neg (no space carving)
+                                             hpp:189-196
+  * normalize by max_dist_neg only           hpp:198 (asymmetric by design)
+  * optional depth / variance weighting      hpp:200-204
+  * weighted average with weight cap applied AFTER the average
+                                             octree.cpp:153-163
+  * Welford variance accumulator M, nsample  octree.cpp:160-161
+
+Deliberate divergence (documented, also SURVEY.md quirk list): the reference
+stores coarse octree cells far outside the truncation band with one shared
+sample; the dense grid gives every voxel its own projective sample. Fields are
+identical wherever the reference subdivides to the finest level — i.e. the
+entire near-surface band that determines rendering and meshing.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import TSDFConfig
+from ..geometry import frustum_contains, reproject_point, rigid_inverse, transform_points
+from ..volume import TSDFVolume, voxel_centers_grid
+from . import color as color_ops
+
+
+def coarse_frustum_mask(cfg: TSDFConfig, trans_inv):
+    """Per-voxel mask replicating the reference's coarse-cell frustum culling.
+
+    The reference culls OCTREE CELLS at the max_cell level by testing their
+    centers against a 1.1x-FOV frustum (tsdf_volume_octree.cpp:619-652); every
+    fine voxel inside a culled-out cell is skipped for the whole frame, even if
+    it projects into the image. Returns a [xres,yres,zres] bool mask.
+    """
+    L = cfg.num_coarse_levels
+    n = 1 << L  # coarse cells per axis (init subdivides uniformly, octree.cpp:585-599)
+    cw = cfg.with_updates(xres=n, yres=n, zres=n)
+    ix = jnp.arange(n, dtype=jnp.float32)[:, None, None]
+    iy = jnp.arange(n, dtype=jnp.float32)[None, :, None]
+    iz = jnp.arange(n, dtype=jnp.float32)[None, None, :]
+    from ..geometry import voxel_center
+
+    cx, cy, cz = voxel_center(cw, ix, iy, iz)
+    cx = jnp.broadcast_to(cx, (n, n, n))
+    cy = jnp.broadcast_to(cy, (n, n, n))
+    cz = jnp.broadcast_to(cz, (n, n, n))
+    coarse = frustum_contains(cfg, trans_inv, cx, cy, cz)
+    # Upsample: fine voxel i lives in coarse cell floor(i * n / res).
+    gx = (jnp.arange(cfg.xres) * n) // cfg.xres
+    gy = (jnp.arange(cfg.yres) * n) // cfg.yres
+    gz = (jnp.arange(cfg.zres) * n) // cfg.zres
+    return coarse[gx[:, None, None], gy[None, :, None], gz[None, None, :]]
+
+
+def _gather_image(img, v, u):
+    """img[v, u] with clipped indices (callers mask validity separately)."""
+    H, W = img.shape[:2]
+    vs = jnp.clip(v, 0, H - 1)
+    us = jnp.clip(u, 0, W - 1)
+    return img[vs, us]
+
+
+def fuse_observation(d, w, M, nsample, d_new, w_new, max_weight):
+    """One weighted-average fusion step, replicating OctreeNode::addObservation
+    (octree.cpp:153-163): cap applied after the average so late observations
+    keep nudging a saturated voxel.
+    """
+    wsum = w + w_new
+    d_upd = (d * w + d_new * w_new) / jnp.where(wsum > 0, wsum, 1.0)
+    w_upd = jnp.minimum(wsum, max_weight)
+    M_upd = M + w_new * (d_new - d_upd) * (d_new - d)
+    return d_upd, w_upd, M_upd, nsample + 1
+
+
+def voxel_variance(M, w, nsample):
+    """OctreeNode::getVariance (octree.cpp:281-287); inf below 5 samples."""
+    var = (M / jnp.where(w > 0, w, 1.0)) * (nsample / jnp.maximum(nsample - 1, 1))
+    return jnp.where(nsample < 5, jnp.inf, var)
+
+
+def compute_observation(cfg: TSDFConfig, depth, pose_inv, cx, cy, cz):
+    """Per-voxel projective observation for voxel centers (cx, cy, cz).
+
+    Returns (d_normalized, w_new, valid, z_img, u, v). Pure function of the
+    depth image and camera pose; differentiable w.r.t. depth and pose_inv.
+    """
+    vx, vy, vz = transform_points(pose_inv, cx, cy, cz)
+    in_range = (vz >= cfg.min_sensor_dist) & (vz <= cfg.max_sensor_dist)
+    u, v, proj_ok = reproject_point(cfg, vx, vy, vz)
+    z_img = _gather_image(depth, v, u)
+    valid = in_range & proj_ok & ~jnp.isnan(z_img)
+    d_new = z_img - vz
+    # Observations behind the surface beyond -max_dist_neg are dropped entirely
+    # (hpp:193-196): no space carving beyond the truncation band.
+    valid &= d_new >= -cfg.max_dist_neg
+    d_new = jnp.minimum(d_new, cfg.max_dist_pos) / cfg.max_dist_neg
+
+    w_new = jnp.ones_like(d_new)
+    if cfg.weight_by_depth:
+        # Scales so a 10 m reading is worthless (hpp:200-202).
+        w_new = w_new * (1.0 - jnp.minimum(z_img / 10.0, 1.0))
+    return d_new, w_new, valid, z_img, u, v
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def integrate(vol: TSDFVolume, depth: jnp.ndarray, pose: jnp.ndarray,
+              rgb: Optional[jnp.ndarray] = None) -> TSDFVolume:
+    """Fuse one registered depth frame into the volume.
+
+    Args:
+      vol: current volume state (donated; updated functionally).
+      depth: [H, W] float32 depth in meters, NaN where missing (the z channel
+        of the reference's organized cloud).
+      pose: [4, 4] camera-to-volume transform (the reference's ``trans``,
+        hpp:48-54 — the camera pose in the volume frame).
+      rgb: optional [H, W, 3] float32 (0..255) color image.
+
+    Returns the updated volume.
+    """
+    cfg = vol.config
+    pose_inv = rigid_inverse(jnp.asarray(pose, jnp.float32))
+    cx, cy, cz = voxel_centers_grid(cfg)
+    d_obs, w_obs, valid, _, u, v = compute_observation(cfg, depth, pose_inv, cx, cy, cz)
+    if cfg.frustum_culling:
+        valid &= coarse_frustum_mask(cfg, pose_inv)
+
+    if cfg.weight_by_variance:
+        var = voxel_variance(vol.M, vol.weight, vol.nsample)
+        # exp(logNormal(d_new, d_old, var)) gate above 5 samples (hpp:203-204).
+        scale = jnp.exp(-((d_obs - vol.sdf) ** 2) / (2.0 * var))
+        w_obs = w_obs * jnp.where(vol.nsample > 5, scale, 1.0)
+
+    d_upd, w_upd, M_upd, n_upd = fuse_observation(
+        vol.sdf, vol.weight, vol.M, vol.nsample, d_obs, w_obs, cfg.max_weight)
+
+    new_color = vol.color
+    if vol.color is not None and rgb is not None:
+        r = _gather_image(rgb[..., 0], v, u)
+        g = _gather_image(rgb[..., 1], v, u)
+        b = _gather_image(rgb[..., 2], v, u)
+        upd = color_ops.update_color(cfg.color_mode, vol.color, vol.weight, r, g, b, w_obs)
+        new_color = jnp.where(valid[..., None], upd, vol.color)
+
+    return TSDFVolume(
+        sdf=jnp.where(valid, d_upd, vol.sdf),
+        weight=jnp.where(valid, w_upd, vol.weight),
+        M=jnp.where(valid, M_upd, vol.M),
+        nsample=jnp.where(valid, n_upd, vol.nsample),
+        color=new_color,
+        global_transform=vol.global_transform,
+        config=cfg,
+    )

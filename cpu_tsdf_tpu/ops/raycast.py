@@ -1,0 +1,282 @@
+"""Raycast rendering of the TSDF volume.
+
+TPU-native re-design of ``TSDFVolumeOctree::renderView`` / ``renderColoredView``
+(``/root/reference/src/lib/tsdf_volume_octree.cpp:278-450``).
+
+The reference marches one ray per pixel under OpenMP, pointer-chasing the
+octree at every step. Here all rays march in lockstep as a single vectorized
+``lax.while_loop`` over [N]-shaped state (N = pixels): each iteration is one
+masked nearest-voxel gather + adaptive step update, identical in semantics to
+the reference's loop:
+
+  * start at t = min_sensor_dist, initial step = 3/4 * max_dist_neg (cpp:289,311)
+  * adaptive step max(cell/4, |d| * max_dist_neg)                    (cpp:360)
+  * stop on sign change with both weights nonzero                    (cpp:325)
+  * half-voxel backtrack to bracket the crossing                     (cpp:329-354)
+  * stop after leaving the volume once inside                        (cpp:363-367)
+  * analytic refinement t* = t + step*(-1 + |last_d/(last_d-d)|) on
+    trilinear samples                                                (cpp:378-390)
+  * normals = central differences at +-1 voxel, trilinear            (cpp:398-419)
+  * output cloud transformed back into the camera frame              (cpp:422)
+
+The reference's missing-data branch forgets a `continue` and relies on NaN
+propagation (cpp:385-390); we mask properly (SURVEY quirk list: fix).
+
+Differentiability: the march/backtrack locate the crossing (discrete); the
+refinement is a smooth function of the SDF array and pose, so gradients flow
+through t* into voxels and camera parameters — the implicit-surface trick.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import TSDFConfig
+from ..geometry import rigid_inverse, rotate_vectors, transform_points
+from ..volume import TSDFVolume
+from . import color as color_ops
+from .interpolate import tsdf_value
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class RenderResult:
+    """Organized render output, camera frame (like the reference's cloud)."""
+
+    points: jnp.ndarray   # [H, W, 3], NaN where no crossing
+    normals: jnp.ndarray  # [H, W, 3], NaN where invalid
+    depth: jnp.ndarray    # [H, W] = points[..., 2]
+    rgb: Optional[jnp.ndarray]  # [H, W, 3] when rendered colored, else None
+
+
+def _sign_change(d, last_d):
+    return ((d < 0) & (last_d > 0)) | ((d > 0) & (last_d < 0))
+
+
+def render_view(vol: TSDFVolume, pose, downsample_by: int = 1,
+                max_steps: int = 512, colored: bool = False) -> RenderResult:
+    """Render the volume from a camera pose (camera-to-volume transform)."""
+    return _render_view_jit(vol, jnp.asarray(pose, jnp.float32), downsample_by,
+                            max_steps, colored)
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def _render_view_jit(vol: TSDFVolume, pose, downsample_by, max_steps, colored):
+    cfg = vol.config
+    W = cfg.image_width // downsample_by
+    H = cfg.image_height // downsample_by
+    fx = cfg.focal_length_x / downsample_by
+    fy = cfg.focal_length_y / downsample_by
+    cx = cfg.principal_point_x / downsample_by
+    cy = cfg.principal_point_y / downsample_by
+    N = H * W
+
+    sdf, weight = vol.sdf, vol.weight
+    min_step = cfg.max_dist_neg * 3.0 / 4.0
+    half_cell = (cfg.zsize / cfg.zres) / 2.0
+    cell_min = min(cfg.xsize / cfg.xres, cfg.ysize / cfg.yres, cfg.zsize / cfg.zres)
+
+    # Ray directions in the volume frame (cpp:298-304).
+    px = (jnp.arange(W, dtype=jnp.float32)[None, :] - cx) / fx
+    py = (jnp.arange(H, dtype=jnp.float32)[:, None] - cy) / fy
+    dx = jnp.broadcast_to(px, (H, W)).reshape(N)
+    dy = jnp.broadcast_to(py, (H, W)).reshape(N)
+    dz = jnp.ones((N,), jnp.float32)
+    norm = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    dx, dy, dz = dx / norm, dy / norm, dz / norm
+    dx, dy, dz = rotate_vectors(pose, dx, dy, dz)
+    ox = jnp.broadcast_to(pose[0, 3], (N,))
+    oy = jnp.broadcast_to(pose[1, 3], (N,))
+    oz = jnp.broadcast_to(pose[2, 3], (N,))
+
+    from ..geometry import in_volume, voxel_index
+
+    sdf_flat = sdf.reshape(-1)
+    w_flat = weight.reshape(-1)
+
+    def sample_nn(t):
+        """Nearest-voxel (d, w, inside) at ray parameter t — the octree
+        getContainingVoxel + getData pair of the reference march loop."""
+        x, y, z = ox + t * dx, oy + t * dy, oz + t * dz
+        ix, iy, iz, _ = voxel_index(cfg, x, y, z)
+        lin = (jnp.clip(ix, 0, cfg.xres - 1) * cfg.yres
+               + jnp.clip(iy, 0, cfg.yres - 1)) * cfg.zres + jnp.clip(iz, 0, cfg.zres - 1)
+        d = jnp.take(sdf_flat, lin, mode="clip")
+        wv = jnp.take(w_flat, lin, mode="clip")
+        return d, wv, in_volume(cfg, x, y, z)
+
+    # ---- Phase 1: coarse march (cpp:318-371) ----
+    t0 = jnp.full((N,), cfg.min_sensor_dist, jnp.float32)
+    state = dict(
+        t=t0,
+        step=jnp.full((N,), min_step, jnp.float32),
+        d=jnp.zeros((N,), jnp.float32),
+        w=jnp.zeros((N,), jnp.float32),
+        last_d=jnp.zeros((N,), jnp.float32),
+        last_w=jnp.zeros((N,), jnp.float32),
+        hit_voxel=jnp.zeros((N,), bool),
+        found=jnp.zeros((N,), bool),
+        done=jnp.zeros((N,), bool),
+        it=jnp.int32(0),
+    )
+
+    def march_cond(s):
+        return (~jnp.all(s["done"])) & (s["it"] < max_steps)
+
+    def march_body(s):
+        t = s["t"]
+        d_new, w_new, inside = sample_nn(t)
+        active = ~s["done"]
+        crossing = inside & _sign_change(d_new, s["last_d"]) & (s["last_w"] != 0) & (w_new != 0) & active
+        # Leaving the volume after having been inside ends the ray (cpp:363-367).
+        exit_ray = (~inside) & s["hit_voxel"] & active
+        # New adaptive step only where we sampled a voxel (cpp:360).
+        new_step = jnp.maximum(cell_min / 4.0, jnp.abs(d_new) * cfg.max_dist_neg)
+        upd = active & inside & ~crossing
+        s2 = dict(s)
+        s2["last_d"] = jnp.where(upd, d_new, s["last_d"])
+        s2["last_w"] = jnp.where(upd, w_new, s["last_w"])
+        s2["d"] = jnp.where(crossing, d_new, s["d"])
+        s2["w"] = jnp.where(crossing, w_new, s["w"])
+        s2["step"] = jnp.where(upd, new_step, s["step"])
+        s2["hit_voxel"] = s["hit_voxel"] | (inside & active)
+        s2["found"] = s["found"] | crossing
+        advance = active & ~crossing & ~exit_ray
+        t_next = t + jnp.where(advance, s2["step"], 0.0)
+        s2["t"] = t_next
+        s2["done"] = s["done"] | crossing | exit_ray | (t_next >= cfg.max_sensor_dist)
+        s2["it"] = s["it"] + 1
+        return s2
+
+    s = jax.lax.while_loop(march_cond, march_body, state)
+
+    # ---- Phase 2: half-voxel backtrack (cpp:329-354) ----
+    found = s["found"]
+    old_t = s["t"] - s["step"]
+    bt = dict(
+        t=s["t"],
+        last_d=s["last_d"],
+        last_w=s["last_w"],
+        done=~found,
+        it=jnp.int32(0),
+    )
+    # Enough iterations to walk back one full coarse step at half-voxel strides.
+    bt_max = int(max(cfg.max_dist_pos, cfg.max_dist_neg) / half_cell) + 4
+
+    def bt_cond(b):
+        return (~jnp.all(b["done"])) & (b["it"] < bt_max)
+
+    def bt_body(b):
+        # Reference loop shape (cpp:334-354): `while (t >= old_t) { t -= step;
+        # sample; if outside break; if same-sign { record; t += step; break; } }`
+        active = ~b["done"]
+        exit_loop = active & (b["t"] < old_t)   # natural exit, t unchanged
+        stepping = active & ~exit_loop
+        t_new = b["t"] - half_cell
+        d_new, w_new, inside = sample_nn(t_new)
+        same_sign = ((b["last_d"] > 0) & (d_new > 0)) | ((b["last_d"] < 0) & (d_new < 0))
+        hit = stepping & inside & same_sign      # refined pre-crossing sample
+        brk_out = stepping & ~inside             # left the volume: keep decremented t
+        cont = stepping & inside & ~same_sign
+        b2 = dict(b)
+        b2["last_d"] = jnp.where(hit, d_new, b["last_d"])
+        b2["last_w"] = jnp.where(hit, w_new, b["last_w"])
+        # On hit the reference re-adds the step, so t stays at the pre-decrement
+        # value; on break-out or continue it keeps the decremented value.
+        b2["t"] = jnp.where(cont | brk_out, t_new, b["t"])
+        b2["done"] = b["done"] | exit_loop | hit | brk_out
+        b2["it"] = b["it"] + 1
+        return b2
+
+    b = jax.lax.while_loop(bt_cond, bt_body, bt)
+    t = b["t"]
+    step = jnp.where(found, half_cell, s["step"])
+
+    # ---- Phase 3: trilinear refinement (cpp:378-390), differentiable ----
+    t = jax.lax.stop_gradient(t)
+    step = jax.lax.stop_gradient(step)
+    tprev = t - step
+
+    def tri(tq):
+        x, y, z = ox + tq * dx, oy + tq * dy, oz + tq * dz
+        return tsdf_value(cfg, sdf, weight, x, y, z)
+
+    last_d_tri, valid_prev = tri(tprev)
+    d_tri, valid_curr = tri(t)
+    valid = found & valid_prev & valid_curr & ~jnp.isnan(d_tri) & ~jnp.isnan(last_d_tri)
+    denom = last_d_tri - d_tri
+    denom = jnp.where(denom == 0, 1e-20, denom)
+    t_star = t + step * (-1.0 + jnp.abs(last_d_tri / denom))
+    hx = ox + t_star * dx
+    hy = oy + t_star * dy
+    hz = oz + t_star * dz
+
+    # ---- Normals: central differences at +-1 voxel (cpp:398-419) ----
+    csx, csy, csz = cfg.cell_size
+    nvalid = valid & _in_bounds(cfg, hx, hy, hz)
+
+    def tri_at(x, y, z):
+        v, ok = tsdf_value(cfg, sdf, weight, x, y, z)
+        return v, ok
+
+    d_xm, ok0 = tri_at(hx - csx, hy, hz)
+    d_xp, ok1 = tri_at(hx + csx, hy, hz)
+    d_ym, ok2 = tri_at(hx, hy - csy, hz)
+    d_yp, ok3 = tri_at(hx, hy + csy, hz)
+    d_zm, ok4 = tri_at(hx, hy, hz - csz)
+    d_zp, ok5 = tri_at(hx, hy, hz + csz)
+    nvalid &= ok0 & ok1 & ok2 & ok3 & ok4 & ok5
+    nx = (d_xp - d_xm) * cfg.max_dist_neg / (2 * csx)
+    ny = (d_yp - d_ym) * cfg.max_dist_neg / (2 * csy)
+    nz = (d_zp - d_zm) * cfg.max_dist_neg / (2 * csz)
+    nn = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+    nn = jnp.where(nn == 0, 1.0, nn)
+    nx, ny, nz = nx / nn, ny / nn, nz / nn
+
+    nanv = jnp.float32(jnp.nan)
+    # Transform hit points and normals back to the camera frame (cpp:422).
+    pose_inv = rigid_inverse(pose)
+    px_c, py_c, pz_c = transform_points(pose_inv, hx, hy, hz)
+    nx_c, ny_c, nz_c = rotate_vectors(pose_inv, nx, ny, nz)
+    pts = jnp.stack([
+        jnp.where(valid, px_c, nanv),
+        jnp.where(valid, py_c, nanv),
+        jnp.where(valid, pz_c, nanv),
+    ], -1).reshape(H, W, 3)
+    nrm = jnp.stack([
+        jnp.where(nvalid, nx_c, nanv),
+        jnp.where(nvalid, ny_c, nanv),
+        jnp.where(nvalid, nz_c, nanv),
+    ], -1).reshape(H, W, 3)
+
+    rgb = None
+    if colored and vol.color is not None:
+        # renderColoredView (cpp:427-450): nearest-voxel color at the hit point
+        # in the volume frame.
+        from ..geometry import voxel_index
+
+        ix, iy, iz, okc = voxel_index(cfg, hx, hy, hz)
+        lin = (jnp.clip(ix, 0, cfg.xres - 1) * cfg.yres
+               + jnp.clip(iy, 0, cfg.yres - 1)) * cfg.zres + jnp.clip(iz, 0, cfg.zres - 1)
+        ccols = vol.color.reshape(-1, vol.color.shape[-1])
+        vox_cols = jnp.take(ccols, lin, axis=0, mode="clip")
+        r, g, bb = color_ops.color_to_rgb(cfg.color_mode, vox_cols)
+        okc &= valid
+        rgb = jnp.stack([
+            jnp.where(okc, r, nanv),
+            jnp.where(okc, g, nanv),
+            jnp.where(okc, bb, nanv),
+        ], -1).reshape(H, W, 3)
+
+    return RenderResult(points=pts, normals=nrm, depth=pts[..., 2], rgb=rgb)
+
+
+def _in_bounds(cfg: TSDFConfig, x, y, z):
+    from ..geometry import in_volume
+
+    return in_volume(cfg, x, y, z)

@@ -1,0 +1,174 @@
+"""Fusion semantics unit tests + golden comparison against the Python oracle
+(exact octree behavior of /root/reference)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cpu_tsdf_tpu import TSDFConfig, integrate, make_volume
+from cpu_tsdf_tpu.ops.fusion import fuse_observation, voxel_variance
+from cpu_tsdf_tpu.synthetic import sphere_depth
+
+from oracle import OracleTSDF
+
+
+def tilted_pose(tx=0.013, ty=0.021, tz=-0.9):
+    """A slightly rotated camera pose: breaks pixel-boundary degeneracy that
+    axis-aligned poses create (voxel centers projecting exactly onto pixel
+    edges, where f32 and f64 legitimately disagree)."""
+    ax, ay = 0.03, -0.02
+    Rx = np.array([[1, 0, 0], [0, np.cos(ax), -np.sin(ax)], [0, np.sin(ax), np.cos(ax)]])
+    Ry = np.array([[np.cos(ay), 0, np.sin(ay)], [0, 1, 0], [-np.sin(ay), 0, np.cos(ay)]])
+    m = np.eye(4)
+    m[:3, :3] = Ry @ Rx
+    m[:3, 3] = (tx, ty, tz)
+    return m
+
+
+def test_weight_cap_after_average():
+    """octree.cpp:153-163: the cap is applied after the average, so a saturated
+    voxel keeps moving toward new observations."""
+    d, w, M, n = jnp.float32(0.5), jnp.float32(100.0), jnp.float32(0.0), jnp.int32(7)
+    d2, w2, M2, n2 = fuse_observation(d, w, M, n, jnp.float32(1.0), jnp.float32(1.0), 100.0)
+    assert float(d2) == pytest.approx((0.5 * 100 + 1.0) / 101.0)
+    assert float(w2) == 100.0  # capped
+    assert int(n2) == 8
+    assert float(M2) == pytest.approx(1.0 * (1.0 - float(d2)) * (1.0 - 0.5))
+
+
+def test_variance_semantics():
+    assert np.isinf(float(voxel_variance(jnp.float32(1.0), jnp.float32(3.0), jnp.int32(4))))
+    v = float(voxel_variance(jnp.float32(2.0), jnp.float32(10.0), jnp.int32(10)))
+    assert v == pytest.approx((2.0 / 10.0) * (10.0 / 9.0))
+
+
+def _integrate_pair(cfg, depth, pose, rgb=None):
+    vol = make_volume(cfg)
+    vol = integrate(vol, jnp.asarray(depth), jnp.asarray(pose, jnp.float32),
+                    None if rgb is None else jnp.asarray(rgb))
+    oracle = OracleTSDF(cfg)
+    oracle.integrate(depth.astype(np.float64), pose, rgb)
+    return vol, oracle
+
+
+@pytest.mark.slow
+def test_golden_sphere_vs_oracle(small_cfg):
+    """Dense fused field == oracle octree field at every finest-level leaf."""
+    cfg = small_cfg
+    pose = tilted_pose()
+    depth = sphere_depth(cfg, center=(-0.013, -0.021, 0.9), radius=0.3)
+    vol, oracle = _integrate_pair(cfg, depth, pose)
+
+    d = np.asarray(vol.sdf, np.float64)
+    w = np.asarray(vol.weight, np.float64)
+    leaves = oracle.finest_leaves()
+    assert len(leaves) > 100
+    n_checked = 0
+    boundary_excused = 0
+    for ix, iy, iz, node in leaves:
+        ok = (abs(d[ix, iy, iz] - node.d) < 2e-3 and abs(w[ix, iy, iz] - node.w) < 1e-4)
+        if not ok:
+            # f32 vs f64 can disagree when the projection falls (near) exactly
+            # on a pixel boundary; excuse only those voxels.
+            cx = (ix + 0.5) * cfg.xsize / cfg.xres - cfg.xsize / 2
+            cy = (iy + 0.5) * cfg.ysize / cfg.yres - cfg.ysize / 2
+            cz = (iz + 0.5) * cfg.zsize / cfg.zres - cfg.zsize / 2
+            p = np.linalg.inv(pose) @ np.array([cx, cy, cz, 1.0])
+            uf = p[0] * cfg.focal_length_x / p[2] + cfg.principal_point_x
+            vf = p[1] * cfg.focal_length_y / p[2] + cfg.principal_point_y
+            on_boundary = (abs(uf - round(uf)) < 1e-4) or (abs(vf - round(vf)) < 1e-4)
+            assert on_boundary, (ix, iy, iz, d[ix, iy, iz], node.d, uf, vf)
+            boundary_excused += 1
+        n_checked += 1
+    assert n_checked == len(leaves)
+    assert boundary_excused <= max(2, len(leaves) // 100)
+
+    # The crossing region must be substantially covered by finest oracle
+    # leaves (the reference splits the near-surface band to finest; behind-
+    # surface voxels whose coarse parents fall past the drop threshold stay
+    # coarse in the octree — the documented sampling-granularity divergence).
+    observed_finest = sum(1 for _, _, _, nd in leaves if nd.w > 0)
+    assert observed_finest > 500
+
+
+@pytest.mark.slow
+def test_golden_two_frames_weights(small_cfg):
+    """Integrating two frames accumulates weights identically to the oracle."""
+    cfg = small_cfg
+    pose1 = tilted_pose()
+    pose2 = tilted_pose(tx=0.063, ty=0.041, tz=-0.88)
+    depth = sphere_depth(cfg, center=(-0.013, -0.021, 0.9), radius=0.3)
+
+    vol = make_volume(cfg)
+    vol = integrate(vol, jnp.asarray(depth), jnp.asarray(pose1, jnp.float32))
+    vol = integrate(vol, jnp.asarray(depth), jnp.asarray(pose2, jnp.float32))
+    oracle = OracleTSDF(cfg)
+    oracle.integrate(depth.astype(np.float64), pose1)
+    oracle.integrate(depth.astype(np.float64), pose2)
+
+    d = np.asarray(vol.sdf, np.float64)
+    w = np.asarray(vol.weight, np.float64)
+    leaves = oracle.finest_leaves()
+    full_mismatch = 0
+    n_full = 0
+    for ix, iy, iz, node in leaves:
+        if node.w >= 2:  # oracle saw both frames at finest: exact parity
+            n_full += 1
+            if not (d[ix, iy, iz] == pytest.approx(node.d, abs=5e-3)
+                    and w[ix, iy, iz] == pytest.approx(node.w, abs=1e-3)):
+                full_mismatch += 1
+        elif node.w > 0:
+            # Reference split-in-frame-2 nodes LOSE their frame-1 history
+            # (children restart at d=-1/w=0, octree.h:63-76); the dense grid
+            # keeps every observation. Dense weight must dominate.
+            assert w[ix, iy, iz] >= node.w - 1e-3
+    assert n_full > 300
+    # tiny residue of pixel-boundary f32/f64 flips
+    assert full_mismatch <= max(2, n_full // 100), f"{full_mismatch}/{n_full}"
+
+
+def test_idempotent_weight_growth(small_cfg):
+    """Property: re-integrating the same frame only increases weights."""
+    cfg = small_cfg
+    pose = np.eye(4); pose[2, 3] = -0.9
+    depth = sphere_depth(cfg, center=(0.0, 0.0, 0.9), radius=0.3)
+    vol1 = make_volume(cfg)
+    vol1 = integrate(vol1, jnp.asarray(depth), jnp.asarray(pose, jnp.float32))
+    w1 = np.asarray(vol1.weight)
+    vol2 = integrate(vol1, jnp.asarray(depth), jnp.asarray(pose, jnp.float32))
+    w2 = np.asarray(vol2.weight)
+    assert np.all(w2 >= w1 - 1e-6)
+    assert np.all(w2 <= cfg.max_weight + 1e-6)
+
+
+def test_drop_behind_surface(small_cfg):
+    """Voxels more than max_dist_neg behind the surface stay unobserved
+    (hpp:193-196): d=-1, w=0."""
+    cfg = small_cfg
+    pose = np.eye(4); pose[2, 3] = -0.9
+    depth = np.full((cfg.image_height, cfg.image_width), 0.9, np.float32)  # plane at volume center
+    vol = make_volume(cfg)
+    vol = integrate(vol, jnp.asarray(depth), jnp.asarray(pose, jnp.float32))
+    d = np.asarray(vol.sdf); w = np.asarray(vol.weight)
+    # voxels well behind the plane (z > 0.1 in volume frame)
+    behind = slice(None), slice(None), slice(40, None)
+    assert np.all(w[behind] == 0)
+    assert np.all(d[behind] == -1)
+
+
+def test_color_rgb_golden(small_cfg):
+    """RGB color fusion matches the oracle RGBNode (uint8 truncation each step)."""
+    cfg = small_cfg.with_updates(integrate_color=True, color_mode="RGB")
+    pose = tilted_pose()
+    depth = sphere_depth(cfg, center=(-0.013, -0.021, 0.9), radius=0.3)
+    H, W = depth.shape
+    rng = np.random.RandomState(3)
+    rgb = rng.randint(0, 256, size=(H, W, 3)).astype(np.float64)
+    vol, oracle = _integrate_pair(cfg, depth, pose, rgb)
+    col = np.asarray(vol.color, np.float64)
+    checked = 0
+    for ix, iy, iz, node in oracle.finest_leaves():
+        if node.w > 0:
+            np.testing.assert_allclose(col[ix, iy, iz], node.rgb, atol=1.0)
+            checked += 1
+    assert checked > 50

@@ -1,0 +1,108 @@
+"""Raycast rendering tests (renderView parity,
+/root/reference/src/lib/tsdf_volume_octree.cpp:278-450)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cpu_tsdf_tpu import integrate, make_volume, render_view
+from cpu_tsdf_tpu.synthetic import sphere_depth
+
+from test_fusion import tilted_pose
+
+
+@pytest.fixture
+def fused(small_cfg):
+    cfg = small_cfg.with_updates(xres=128, yres=128, zres=128, max_dist_pos=0.04,
+                                 max_dist_neg=0.04)
+    pose = tilted_pose()
+    depth = sphere_depth(cfg, center=(-0.013, -0.021, 0.9), radius=0.3)
+    vol = make_volume(cfg)
+    vol = integrate(vol, jnp.asarray(depth), jnp.asarray(pose, jnp.float32))
+    return cfg, vol, pose, depth
+
+
+def test_render_reproduces_input_depth(fused):
+    """Property gate (SURVEY §4.5): raycasting an integrated frame re-produces
+    the input depth within truncation tolerance."""
+    cfg, vol, pose, depth = fused
+    res = render_view(vol, pose)
+    d = np.asarray(res.depth)
+    valid_in = ~np.isnan(depth)
+    valid_out = ~np.isnan(d)
+    # Strongly-interior pixels (away from the silhouette, where the trilinear
+    # 8-neighborhood touches unobserved voxels) must render.
+    interior = valid_in & (depth < np.nanmax(depth) - 0.12)
+    coverage = (valid_out & interior).sum() / max(interior.sum(), 1)
+    assert coverage > 0.95, coverage
+    both = valid_in & valid_out
+    err = np.abs(d[both] - depth[both])
+    assert np.median(err) < cfg.xsize / cfg.xres  # sub-voxel accuracy
+    assert err.mean() < 2 * cfg.xsize / cfg.xres
+
+
+def test_render_normals_point_at_camera(fused):
+    """Sphere normals at hits should oppose the view ray (outward surface)."""
+    cfg, vol, pose, depth = fused
+    res = render_view(vol, pose)
+    pts = np.asarray(res.points)
+    nrm = np.asarray(res.normals)
+    ok = ~np.isnan(pts[..., 2]) & ~np.isnan(nrm[..., 0])
+    assert ok.sum() > 500
+    # camera-frame points: ray direction ~ pts/|pts|; gradient of SDF points
+    # outward from the sphere -> dot(normal, ray) < 0 for front faces.
+    p = pts[ok]
+    n = nrm[ok]
+    dots = (p * n).sum(-1) / (np.linalg.norm(p, axis=-1) + 1e-9)
+    assert (dots < 0).mean() > 0.95
+
+
+def test_render_misses_are_nan(fused):
+    cfg, vol, pose, depth = fused
+    res = render_view(vol, pose)
+    d = np.asarray(res.depth)
+    # corner pixels look past the sphere into unobserved space -> NaN
+    assert np.isnan(d[0, 0]) and np.isnan(d[-1, -1])
+
+
+def test_render_downsample(fused):
+    cfg, vol, pose, depth = fused
+    res = render_view(vol, pose, downsample_by=2)
+    assert res.depth.shape == (cfg.image_height // 2, cfg.image_width // 2)
+    d = np.asarray(res.depth)
+    assert np.isfinite(d).sum() > 100
+
+
+def test_render_colored(small_cfg):
+    cfg = small_cfg.with_updates(integrate_color=True, color_mode="RGB")
+    pose = tilted_pose()
+    depth = sphere_depth(cfg, center=(-0.013, -0.021, 0.9), radius=0.3)
+    rgb = np.broadcast_to(np.array([200.0, 64.0, 32.0], np.float32),
+                          depth.shape + (3,)).copy()
+    vol = make_volume(cfg)
+    vol = integrate(vol, jnp.asarray(depth), jnp.asarray(pose, jnp.float32), jnp.asarray(rgb))
+    res = render_view(vol, pose, colored=True)
+    c = np.asarray(res.rgb)
+    ok = ~np.isnan(c[..., 0])
+    assert ok.sum() > 100
+    np.testing.assert_allclose(c[ok].mean(0), [200, 64, 32], atol=2.0)
+
+
+def test_depth_gradient_flows_to_sdf(fused):
+    """Rendered depth is differentiable w.r.t. the SDF field (the refinement
+    phase): perturbing the SDF moves the crossing."""
+    cfg, vol, pose, depth = fused
+
+    def mean_depth(sdf):
+        v2 = vol.__class__(sdf=sdf, weight=vol.weight, M=vol.M, nsample=vol.nsample,
+                           color=vol.color, global_transform=vol.global_transform,
+                           config=vol.config)
+        res = render_view(v2, pose, downsample_by=4)
+        d = res.depth
+        return jnp.nansum(jnp.where(jnp.isnan(d), 0.0, d))
+
+    g = jax.grad(mean_depth)(vol.sdf)
+    gn = np.asarray(g)
+    assert np.isfinite(gn).all()
+    assert (gn != 0).sum() > 50  # gradient touches the crossing neighborhood
