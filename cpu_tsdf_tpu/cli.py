@@ -1,0 +1,254 @@
+"""Command-line tools: ``tsdf-integrate``, ``tsdf2mesh``, ``get-intrinsics``.
+
+Flag-compatible re-implementation of the reference CLI programs
+(/root/reference/src/prog/integrate.cpp:257-293, tsdf2mesh.cpp:51-73,
+get_intrinsics.cpp:109-131) on the TPU-native pipeline.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+from .config import TSDFConfig, snap_resolution_pow2
+from .io import pcd as pcd_io
+from .io import ply as ply_io
+from .io import poses as pose_io
+from .io.checkpoint import load_any, save_checkpoint
+from .io.vol import save_vol
+from .pipeline import cleanup_mesh, estimate_intrinsics, flatten_vertices, organize_cloud, voxel_downsample
+
+
+def _integrate_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="tsdf-integrate",
+        description="Integrates multiple clouds and returns a mesh. Assumes "
+                    "clouds are PCD files and poses are ascii (.txt) or binary "
+                    "float (.transform) files with the same prefix, specifying "
+                    "the pose of the camera in the world frame.")
+    p.add_argument("--in", dest="in_dir", required=True, help="Input dir")
+    p.add_argument("--out", dest="out_dir", required=True, help="Output dir")
+    p.add_argument("--save-tsdf", action="store_true",
+                   help="Save the full TSDF in the output directory")
+    p.add_argument("--volume-size", type=float, default=12.0)
+    p.add_argument("--cell-size", type=float, default=0.006,
+                   help="Size of the smallest voxel")
+    p.add_argument("--max-cell-size", type=float, default=0.5)
+    p.add_argument("--num-frames", type=int, default=None)
+    p.add_argument("--verbose", action="store_true")
+    p.add_argument("--color", action="store_true",
+                   help="Store color in addition to depth in the TSDF")
+    p.add_argument("--flatten", action="store_true", help="Flatten mesh vertices")
+    p.add_argument("--cleanup", action="store_true", help="Clean up mesh")
+    p.add_argument("--invert", action="store_true",
+                   help="Transforms are inverted (world -> camera)")
+    p.add_argument("--world", action="store_true",
+                   help="Clouds are given in the world frame")
+    p.add_argument("--organized", action="store_true",
+                   help="Clouds are already organized")
+    p.add_argument("--width", type=int, default=640)
+    p.add_argument("--height", type=int, default=480)
+    p.add_argument("--zero-nans", action="store_true",
+                   help="Nans are represented as (0,0,0)")
+    p.add_argument("--num-random-splits", type=int, default=1)
+    p.add_argument("--fx", type=float, default=None)
+    p.add_argument("--fy", type=float, default=None)
+    p.add_argument("--cx", type=float, default=None)
+    p.add_argument("--cy", type=float, default=None)
+    p.add_argument("--save-ascii", action="store_true")
+    p.add_argument("--cloud-units", type=float, default=1.0)
+    p.add_argument("--pose-units", type=float, default=1.0)
+    p.add_argument("--max-sensor-dist", type=float, default=3.0)
+    p.add_argument("--min-sensor-dist", type=float, default=0.0)
+    p.add_argument("--trunc-dist-pos", type=float, default=0.03)
+    p.add_argument("--trunc-dist-neg", type=float, default=0.03)
+    p.add_argument("--min-weight", type=float, default=0.0)
+    p.add_argument("--cloud-only", action="store_true",
+                   help="Save aggregate cloud rather than actually running TSDF")
+    # extensions over the reference CLI:
+    p.add_argument("--tsdf-format", choices=("npz", "vol"), default="npz",
+                   help="checkpoint format for --save-tsdf (npz=native, "
+                        "vol=reference-compatible)")
+    p.add_argument("--metrics-json", default=None,
+                   help="write per-frame timing/occupancy metrics to this file")
+    return p
+
+
+def integrate_main(argv=None) -> int:
+    args = _integrate_parser().parse_args(argv)
+    import jax.numpy as jnp
+
+    from . import integrate, make_volume
+    from .ops.marching_cubes import extract_mesh
+
+    t_start = time.time()
+    width, height = args.width, args.height
+    fx = args.fx if args.fx is not None else 525.0 * width / 640.0
+    fy = args.fy if args.fy is not None else 525.0 * height / 480.0
+    cx = args.cx if args.cx is not None else width / 2.0 - 0.5
+    cy = args.cy if args.cy is not None else height / 2.0 - 0.5
+
+    pcd_files, pose_files, binary_poses = pose_io.scrape_directory(args.in_dir)
+    print(f"Found {len(pcd_files)} PCD files; reading "
+          f"{'binary' if binary_poses else 'ascii'} pose files")
+    poses = pose_io.load_poses(pose_files, invert=args.invert, pose_units=args.pose_units)
+    if args.verbose:
+        for i, m in enumerate(poses):
+            print(f"Pose[{i}]\n{m}")
+
+    res = snap_resolution_pow2(args.volume_size, args.cell_size)
+    cfg = TSDFConfig(
+        xres=res, yres=res, zres=res,
+        xsize=args.volume_size, ysize=args.volume_size, zsize=args.volume_size,
+        max_dist_pos=args.trunc_dist_pos, max_dist_neg=args.trunc_dist_neg,
+        min_sensor_dist=args.min_sensor_dist, max_sensor_dist=args.max_sensor_dist,
+        focal_length_x=fx, focal_length_y=fy,
+        principal_point_x=cx, principal_point_y=cy,
+        image_width=width, image_height=height,
+        max_cell_size_x=args.max_cell_size, max_cell_size_y=args.max_cell_size,
+        max_cell_size_z=args.max_cell_size,
+        integrate_color=args.color,
+        num_random_splits=args.num_random_splits,
+    )
+    print(f"Setting resolution: {res} with grid size {args.volume_size}")
+
+    vol = None if args.cloud_only else make_volume(cfg)
+    aggregate_pts, aggregate_rgb = [], []
+    num_frames = len(pcd_files)
+    if args.num_frames is not None and 0 <= args.num_frames <= num_frames:
+        num_frames = args.num_frames
+    metrics = []
+
+    for i in range(num_frames):
+        t0 = time.time()
+        print(f"On frame {i + 1} / {num_frames}")
+        cloud = pcd_io.load_pcd(pcd_files[i])
+        xyz = cloud.xyz().astype(np.float64) * args.cloud_units
+        rgb = cloud.rgb()
+        if args.zero_nans:
+            zero = (xyz == 0).all(-1)
+            xyz[zero] = np.nan
+        pose = poses[i] if i < len(poses) else np.eye(4)
+        if args.world:
+            inv = np.linalg.inv(pose)
+            xyz = xyz @ inv[:3, :3].T + inv[:3, 3]
+        if args.organized:
+            if cloud.height != height or cloud.width != width:
+                print(f"Error: cloud {i + 1} has size {cloud.width} x "
+                      f"{cloud.height}, but TSDF is initialized for "
+                      f"{width} x {height} pointclouds", file=sys.stderr)
+                return 1
+            depth = xyz[:, 2].reshape(height, width).astype(np.float32)
+            rgb_img = None if rgb is None else rgb.reshape(height, width, 3)
+        else:
+            depth, rgb_img = organize_cloud(cfg, xyz.astype(np.float32), rgb)
+            depth = np.asarray(depth)
+            rgb_img = None if rgb_img is None else np.asarray(rgb_img)
+            if args.verbose:
+                print(f"Reprojection yielded {np.isfinite(depth).sum()} valid "
+                      f"points, of initial {np.isfinite(xyz[:, 2]).sum()}")
+        pose_rel = np.linalg.inv(poses[0]) @ pose  # integrate.cpp:650
+        if args.cloud_only:
+            ok = np.isfinite(depth.reshape(-1))
+            uu, vv = np.meshgrid(np.arange(width), np.arange(height))
+            zz = depth.reshape(-1)[ok]
+            xx = (uu.reshape(-1)[ok] - cx) / fx * zz
+            yy = (vv.reshape(-1)[ok] - cy) / fy * zz
+            pts = np.stack([xx, yy, zz], -1)
+            pts = pts @ pose_rel[:3, :3].T + pose_rel[:3, 3]
+            aggregate_pts.append(pts)
+            if rgb_img is not None:
+                aggregate_rgb.append(rgb_img.reshape(-1, 3)[ok])
+        else:
+            vol = integrate(vol, jnp.asarray(depth), jnp.asarray(pose_rel, jnp.float32),
+                            None if (rgb_img is None or not args.color) else jnp.asarray(rgb_img))
+        metrics.append(dict(frame=i, seconds=time.time() - t0))
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    if args.cloud_only:
+        pts = np.concatenate(aggregate_pts, 0)
+        rgbs = np.concatenate(aggregate_rgb, 0) if aggregate_rgb else None
+        pts, rgbs = voxel_downsample(pts, rgbs, leaf=0.01)
+        fields = {"x": pts[:, 0].astype(np.float32), "y": pts[:, 1].astype(np.float32),
+                  "z": pts[:, 2].astype(np.float32)}
+        if rgbs is not None:
+            fields["rgb"] = pcd_io.pack_rgb(rgbs)
+        pcd_io.save_pcd(os.path.join(args.out_dir, "cloud.pcd"),
+                        pcd_io.PointCloud(fields, len(pts), 1), mode="binary")
+        print(f"Saved to {args.out_dir}/cloud.pcd")
+        return 0
+
+    verts, faces, cols = extract_mesh(vol, min_weight=args.min_weight,
+                                      color_by_rgb=args.color)
+    if args.flatten:
+        verts, faces, cols = flatten_vertices(verts, faces, cols)
+    if args.cleanup:
+        verts, faces, cols = cleanup_mesh(verts, faces, cols)
+    print(f"Entire pipeline took {(time.time() - t_start) * 1000.0:.1f} ms")
+    mesh_path = os.path.join(args.out_dir, "mesh.ply")
+    ply_io.save_ply(mesh_path, verts, faces, colors=cols, binary=not args.save_ascii)
+    print(f"Saved to {mesh_path}")
+    if args.save_tsdf:
+        if args.tsdf_format == "vol":
+            tsdf_path = os.path.join(args.out_dir, "volume.tsdf")
+            save_vol(tsdf_path, cfg, np.asarray(vol.sdf), np.asarray(vol.weight),
+                     np.asarray(vol.M), np.asarray(vol.nsample),
+                     rgb=None if vol.color is None else np.asarray(vol.color))
+        else:
+            tsdf_path = os.path.join(args.out_dir, "volume.npz")
+            save_checkpoint(tsdf_path, vol)
+        print(f"Saved full tsdf to {tsdf_path}")
+    if args.metrics_json:
+        import json
+
+        with open(args.metrics_json, "w") as f:
+            json.dump(dict(frames=metrics, total_s=time.time() - t_start,
+                           resolution=res), f)
+    return 0
+
+
+def tsdf2mesh_main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="tsdf2mesh",
+        description="Render a mesh from a saved TSDF volume (.npz or "
+                    "reference .vol/.tsdf).")
+    p.add_argument("volume_file")
+    p.add_argument("mesh_file")
+    p.add_argument("--min-weight", type=float, default=0.0)
+    args = p.parse_args(argv)
+    from .ops.marching_cubes import extract_mesh
+
+    print(f"Converting {args.volume_file} -> {args.mesh_file}")
+    vol = load_any(args.volume_file)
+    print("Loaded! Running marching cubes")
+    verts, faces, cols = extract_mesh(vol, min_weight=args.min_weight)
+    ply_io.save_ply(args.mesh_file, verts, faces, colors=cols, binary=True)
+    return 0
+
+
+def get_intrinsics_main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="get-intrinsics",
+        description="Estimate pinhole intrinsics from one organized cloud.")
+    p.add_argument("pcd_file")
+    args = p.parse_args(argv)
+    cloud = pcd_io.load_pcd(args.pcd_file)
+    print(f"Loading cloud {args.pcd_file}")
+    xyz = cloud.xyz().reshape(cloud.height, cloud.width, 3)
+    fx, fy, cx, cy, err = estimate_intrinsics(xyz, cloud.width, cloud.height)
+    print(f"Width: {cloud.width}")
+    print(f"Height: {cloud.height}")
+    print(f"fx: {fx:.6f}")
+    print(f"fy: {fy:.6f}")
+    print(f"cx: {cx:.6f}")
+    print(f"cy: {cy:.6f}")
+    print(f"Total reprojection error: {err:.6f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(integrate_main())

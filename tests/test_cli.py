@@ -1,0 +1,141 @@
+"""End-to-end CLI tests: the reference's primary validation path (SURVEY §4)
+— run the full integrate pipeline on a synthetic sequence and inspect outputs."""
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from cpu_tsdf_tpu.cli import get_intrinsics_main, integrate_main, tsdf2mesh_main
+from cpu_tsdf_tpu.config import TSDFConfig
+from cpu_tsdf_tpu.io import pcd as pcd_io
+from cpu_tsdf_tpu.io import ply as ply_io
+from cpu_tsdf_tpu.synthetic import sphere_depth
+
+
+W, H = 64, 48
+FX = FY = 60.0
+CX, CY = W / 2.0 - 0.5, H / 2.0 - 0.5
+
+
+def _write_sequence(dirname, n_frames=2, color=False):
+    cfg = TSDFConfig(image_width=W, image_height=H, focal_length_x=FX,
+                     focal_length_y=FY, principal_point_x=CX, principal_point_y=CY)
+    os.makedirs(dirname, exist_ok=True)
+    for i in range(n_frames):
+        # camera orbits slightly; sphere fixed at world origin, cameras at -z
+        tz = -1.0 - 0.02 * i
+        tx = 0.03 * i
+        pose = np.eye(4)
+        pose[:3, 3] = (tx, 0.0, tz)
+        depth = sphere_depth(cfg, center=(-tx, 0.0, -tz), radius=0.35)
+        uu, vv = np.meshgrid(np.arange(W), np.arange(H))
+        x = (uu - CX) / FX * depth
+        y = (vv - CY) / FY * depth
+        pts = np.stack([x, y, depth], -1).reshape(-1, 3).astype(np.float32)
+        fields = {"x": pts[:, 0], "y": pts[:, 1], "z": pts[:, 2]}
+        if color:
+            rgb = np.broadcast_to(np.array([200.0, 60.0, 30.0], np.float32),
+                                  (len(pts), 3))
+            fields["rgb"] = pcd_io.pack_rgb(rgb)
+        cloud = pcd_io.PointCloud(fields, W, H)
+        pcd_io.save_pcd(os.path.join(dirname, f"cloud_{i:04d}.pcd"), cloud, "binary")
+        with open(os.path.join(dirname, f"pose_{i:04d}.txt"), "w") as f:
+            for row in pose[:3]:
+                f.write(" ".join(f"{v:.9g}" for v in row) + "\n")
+
+
+def _common_args(in_dir, out_dir):
+    return ["--in", in_dir, "--out", out_dir,
+            "--volume-size", "1.6", "--cell-size", "0.0125",
+            "--max-cell-size", "0.4",
+            "--width", str(W), "--height", str(H),
+            "--fx", str(FX), "--fy", str(FY), "--cx", str(CX), "--cy", str(CY),
+            "--trunc-dist-pos", "0.05", "--trunc-dist-neg", "0.05",
+            "--min-sensor-dist", "0.1"]
+
+
+def test_integrate_end_to_end(tmp_path):
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    _write_sequence(in_dir, n_frames=2)
+    rc = integrate_main(_common_args(in_dir, out_dir) + ["--save-tsdf", "--flatten"])
+    assert rc == 0
+    verts, faces, _ = ply_io.load_ply(os.path.join(out_dir, "mesh.ply"))
+    assert len(faces) > 200
+    # first camera at origin of the volume frame (pose relative to frame 0);
+    # sphere center in frame-0 camera coords = (0,0,1.0)
+    r = np.linalg.norm(verts - np.array([0, 0, 1.0]), axis=1)
+    assert np.abs(r - 0.35).mean() < 0.01
+    assert os.path.exists(os.path.join(out_dir, "volume.npz"))
+
+
+def test_tsdf2mesh_roundtrip(tmp_path):
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    _write_sequence(in_dir, n_frames=1)
+    rc = integrate_main(_common_args(in_dir, out_dir) + ["--save-tsdf"])
+    assert rc == 0
+    mesh2 = str(tmp_path / "remesh.ply")
+    rc = tsdf2mesh_main([os.path.join(out_dir, "volume.npz"), mesh2])
+    assert rc == 0
+    v1, f1, _ = ply_io.load_ply(os.path.join(out_dir, "mesh.ply"))
+    v2, f2, _ = ply_io.load_ply(mesh2)
+    assert len(f1) == len(f2)
+    np.testing.assert_allclose(np.sort(v1, axis=0), np.sort(v2, axis=0), atol=1e-6)
+
+
+def test_integrate_vol_format_and_reload(tmp_path):
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    _write_sequence(in_dir, n_frames=1)
+    rc = integrate_main(_common_args(in_dir, out_dir)
+                        + ["--save-tsdf", "--tsdf-format", "vol"])
+    assert rc == 0
+    vol_path = os.path.join(out_dir, "volume.tsdf")
+    assert os.path.exists(vol_path)
+    mesh2 = str(tmp_path / "remesh.ply")
+    assert tsdf2mesh_main([vol_path, mesh2]) == 0
+    v2, f2, _ = ply_io.load_ply(mesh2)
+    assert len(f2) > 100
+
+
+def test_integrate_cloud_only(tmp_path):
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    _write_sequence(in_dir, n_frames=2)
+    rc = integrate_main(_common_args(in_dir, out_dir) + ["--cloud-only"])
+    assert rc == 0
+    cloud = pcd_io.load_pcd(os.path.join(out_dir, "cloud.pcd"))
+    xyz = cloud.xyz()
+    assert len(xyz) > 500
+    r = np.linalg.norm(xyz - np.array([0, 0, 1.0]), axis=1)
+    assert np.abs(r - 0.35).mean() < 0.02
+
+
+def test_integrate_color(tmp_path):
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    _write_sequence(in_dir, n_frames=1, color=True)
+    rc = integrate_main(_common_args(in_dir, out_dir) + ["--color"])
+    assert rc == 0
+    verts, faces, cols = ply_io.load_ply(os.path.join(out_dir, "mesh.ply"))
+    assert cols is not None
+    np.testing.assert_allclose(cols.mean(0), [200, 60, 30], atol=5)
+
+
+def test_get_intrinsics_cli(tmp_path, capsys):
+    cfg = TSDFConfig(image_width=W, image_height=H, focal_length_x=FX,
+                     focal_length_y=FY, principal_point_x=CX, principal_point_y=CY)
+    depth = sphere_depth(cfg, center=(0, 0, 1.0), radius=0.35)
+    uu, vv = np.meshgrid(np.arange(W), np.arange(H))
+    x = ((uu - CX) / FX * depth).astype(np.float32)
+    y = ((vv - CY) / FY * depth).astype(np.float32)
+    pts = {"x": x.reshape(-1), "y": y.reshape(-1), "z": depth.reshape(-1)}
+    p = str(tmp_path / "organized.pcd")
+    pcd_io.save_pcd(p, pcd_io.PointCloud(pts, W, H), "binary")
+    assert get_intrinsics_main([p]) == 0
+    out = capsys.readouterr().out
+    fx_line = [l for l in out.splitlines() if l.startswith("fx:")][0]
+    assert abs(float(fx_line.split()[1]) - FX) < 0.5

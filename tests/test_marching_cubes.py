@@ -1,0 +1,143 @@
+"""Marching-cubes tests: table integrity, watertightness, geometric accuracy
+(/root/reference/src/lib/marching_cubes_tsdf_octree.cpp)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cpu_tsdf_tpu import TSDFConfig, integrate, make_volume
+from cpu_tsdf_tpu.ops import mc_tables
+from cpu_tsdf_tpu.ops.marching_cubes import count_active_cubes, extract_mesh, marching_cubes
+from cpu_tsdf_tpu.synthetic import sphere_depth
+from cpu_tsdf_tpu.volume import TSDFVolume
+
+from test_fusion import tilted_pose
+
+
+def test_edge_table_matches_sign_changes():
+    for code in range(256):
+        inside = [(code >> i) & 1 == 1 for i in range(8)]
+        crossed = 0
+        for e, (a, b) in enumerate(mc_tables.EDGE_CORNERS):
+            if inside[a] != inside[b]:
+                crossed |= 1 << e
+        assert mc_tables.EDGE_TABLE[code] == crossed
+
+
+def test_tri_table_edges_are_crossed():
+    """Every edge a triangle references must be a sign-change edge."""
+    for code in range(256):
+        for e in mc_tables.TRI_TABLE[code]:
+            if e >= 0:
+                a, b = mc_tables.EDGE_CORNERS[e]
+                assert ((code >> a) & 1) != ((code >> b) & 1)
+
+
+def test_max_five_triangles():
+    assert mc_tables.MAX_TRIS_PER_CUBE == 5
+    assert mc_tables.TRI_COUNT[0] == 0 and mc_tables.TRI_COUNT[255] == 0
+
+
+def _analytic_sphere_volume(res=48, radius=0.35, trunc=0.08):
+    """Build a volume directly from the exact sphere SDF (bypasses fusion)."""
+    cfg = TSDFConfig(xres=res, yres=res, zres=res, xsize=1.6, ysize=1.6, zsize=1.6,
+                     max_dist_pos=trunc, max_dist_neg=trunc)
+    i = np.arange(res)
+    x = (i + 0.5) * cfg.xsize / res - cfg.xsize / 2
+    X, Y, Z = np.meshgrid(x, x, x, indexing="ij")
+    dist = np.sqrt(X ** 2 + Y ** 2 + Z ** 2) - radius
+    d = np.clip(dist / trunc, -1.0, 1.0).astype(np.float32)
+    vol = make_volume(cfg)
+    return TSDFVolume(sdf=jnp.asarray(d), weight=jnp.full(d.shape, 10.0, jnp.float32),
+                      M=vol.M, nsample=vol.nsample, color=None,
+                      global_transform=vol.global_transform, config=cfg), radius
+
+
+def test_sphere_mesh_watertight():
+    """The strongest table validator: a closed surface must produce a closed
+    2-manifold — every undirected edge shared by exactly two triangles, and
+    Euler characteristic V - E + F == 2 (genus 0)."""
+    vol, radius = _analytic_sphere_volume()
+    verts, faces, _ = extract_mesh(vol, min_weight=0.5)
+    assert len(faces) > 500
+    # weld identical vertex positions
+    keys = np.round(np.asarray(verts, np.float64) * 1e6).astype(np.int64)
+    uniq, inv = np.unique(keys, axis=0, return_inverse=True)
+    f = inv[faces]
+    # drop degenerate faces (zero-length crossing edges welded together)
+    good = (f[:, 0] != f[:, 1]) & (f[:, 1] != f[:, 2]) & (f[:, 2] != f[:, 0])
+    f = f[good]
+    edges = np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]])
+    edges = np.sort(edges, axis=1)
+    e_uniq, counts = np.unique(edges, axis=0, return_counts=True)
+    assert np.all(counts == 2), f"non-manifold edges: {(counts != 2).sum()}"
+    V = len(np.unique(f.reshape(-1)))
+    E = len(e_uniq)
+    F = len(f)
+    assert V - E + F == 2, (V, E, F)
+
+
+def test_sphere_mesh_accuracy():
+    """Every vertex should lie on the analytic sphere within ~half a voxel."""
+    vol, radius = _analytic_sphere_volume()
+    verts, faces, _ = extract_mesh(vol, min_weight=0.5)
+    r = np.linalg.norm(verts, axis=1)
+    cell = vol.config.xsize / vol.config.xres
+    assert np.abs(r - radius).max() < cell / 2
+    assert np.abs(r - radius).mean() < cell / 10
+
+
+def test_consistent_winding():
+    """All triangle normals point outward (or all inward) on the sphere."""
+    vol, radius = _analytic_sphere_volume()
+    verts, faces, _ = extract_mesh(vol, min_weight=0.5)
+    tri = verts[faces]
+    n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    ctr = tri.mean(1)
+    area = np.linalg.norm(n, axis=1)
+    keep = area > 1e-12
+    dots = (n[keep] * ctr[keep]).sum(1)
+    frac_out = (dots > 0).mean()
+    assert frac_out > 0.999 or frac_out < 0.001, frac_out
+
+
+def test_fused_sphere_mesh(small_cfg):
+    """End-to-end: integrate a depth frame, mesh it, vertices near the sphere."""
+    cfg = small_cfg.with_updates(xres=128, yres=128, zres=128,
+                                 max_dist_pos=0.04, max_dist_neg=0.04)
+    pose = tilted_pose()
+    center_cam = np.array([-0.013, -0.021, 0.9])
+    depth = sphere_depth(cfg, center=tuple(center_cam), radius=0.3)
+    vol = make_volume(cfg)
+    vol = integrate(vol, jnp.asarray(depth), jnp.asarray(pose, jnp.float32))
+    verts, faces, _ = extract_mesh(vol, min_weight=0.5)
+    assert len(faces) > 300
+    center_vol = (pose @ np.array([*center_cam, 1.0]))[:3]
+    r = np.linalg.norm(verts - center_vol, axis=1)
+    # visible hemisphere only; all vertices near radius 0.3
+    assert np.abs(r - 0.3).mean() < 0.01
+    assert np.abs(r - 0.3).max() < 0.03
+
+
+def test_min_weight_filter():
+    vol, _ = _analytic_sphere_volume()
+    # weights are 10 everywhere; min_weight above that yields nothing
+    assert count_active_cubes(vol, min_weight=50.0) == 0
+    n = count_active_cubes(vol, min_weight=0.5)
+    assert n > 500
+
+
+def test_overflow_flag():
+    vol, _ = _analytic_sphere_volume()
+    soup = marching_cubes(vol, 0.5, 16)
+    assert bool(soup.overflowed)
+
+
+def test_confidence_coloring():
+    vol, _ = _analytic_sphere_volume()
+    verts, faces, cols = extract_mesh(vol, min_weight=0.5, color_by_confidence=True)
+    assert cols is not None and len(cols) == len(verts)
+    # w=10 -> std_dev=0.9 -> red ~ 25.5, blue ~ 229.5
+    np.testing.assert_allclose(cols[:, 0], 25.5, atol=0.5)
+    np.testing.assert_allclose(cols[:, 2], 229.5, atol=0.5)
+    np.testing.assert_allclose(cols[:, 1], 0.0, atol=0.1)
