@@ -5,7 +5,7 @@ TPU-native re-design of ``TSDFVolumeOctree::renderView`` / ``renderColoredView``
 
 The reference marches one ray per pixel under OpenMP, pointer-chasing the
 octree at every step. Here all rays march in lockstep as a single vectorized
-``lax.while_loop`` over [N]-shaped state (N = pixels): each iteration is one
+``lax.while_loop`` over [N]-shaped state (N = rays): each iteration is one
 masked nearest-voxel gather + adaptive step update, identical in semantics to
 the reference's loop:
 
@@ -22,6 +22,12 @@ the reference's loop:
 The reference's missing-data branch forgets a `continue` and relies on NaN
 propagation (cpp:385-390); we mask properly (SURVEY quirk list: fix).
 
+The ray-level entry point :func:`render_rays` is the sharding surface: rays
+shard across the device mesh (SURVEY §5 "ray tiles on the render side") while
+the volume stays replicated; every op inside is elementwise over rays plus
+gathers from the replicated volume, so GSPMD partitions it with zero
+collectives.
+
 Differentiability: the march/backtrack locate the crossing (discrete); the
 refinement is a smooth function of the SDF array and pose, so gradients flow
 through t* into voxels and camera parameters — the implicit-surface trick.
@@ -37,7 +43,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import TSDFConfig
-from ..geometry import rigid_inverse, rotate_vectors, transform_points
+from ..geometry import in_volume, rigid_inverse, rotate_vectors, transform_points, voxel_index
 from ..volume import TSDFVolume
 from . import color as color_ops
 from .interpolate import tsdf_value
@@ -58,16 +64,9 @@ def _sign_change(d, last_d):
     return ((d < 0) & (last_d > 0)) | ((d > 0) & (last_d < 0))
 
 
-def render_view(vol: TSDFVolume, pose, downsample_by: int = 1,
-                max_steps: int = 512, colored: bool = False) -> RenderResult:
-    """Render the volume from a camera pose (camera-to-volume transform)."""
-    return _render_view_jit(vol, jnp.asarray(pose, jnp.float32), downsample_by,
-                            max_steps, colored)
-
-
-@partial(jax.jit, static_argnums=(2, 3, 4))
-def _render_view_jit(vol: TSDFVolume, pose, downsample_by, max_steps, colored):
-    cfg = vol.config
+def camera_rays(cfg: TSDFConfig, pose, downsample_by: int = 1):
+    """Per-pixel unit rays in the volume frame (cpp:281-304). Returns
+    (origins [N,3], dirs [N,3]) with N = (H/d)*(W/d)."""
     W = cfg.image_width // downsample_by
     H = cfg.image_height // downsample_by
     fx = cfg.focal_length_x / downsample_by
@@ -75,13 +74,6 @@ def _render_view_jit(vol: TSDFVolume, pose, downsample_by, max_steps, colored):
     cx = cfg.principal_point_x / downsample_by
     cy = cfg.principal_point_y / downsample_by
     N = H * W
-
-    sdf, weight = vol.sdf, vol.weight
-    min_step = cfg.max_dist_neg * 3.0 / 4.0
-    half_cell = (cfg.zsize / cfg.zres) / 2.0
-    cell_min = min(cfg.xsize / cfg.xres, cfg.ysize / cfg.yres, cfg.zsize / cfg.zres)
-
-    # Ray directions in the volume frame (cpp:298-304).
     px = (jnp.arange(W, dtype=jnp.float32)[None, :] - cx) / fx
     py = (jnp.arange(H, dtype=jnp.float32)[:, None] - cy) / fy
     dx = jnp.broadcast_to(px, (H, W)).reshape(N)
@@ -90,11 +82,27 @@ def _render_view_jit(vol: TSDFVolume, pose, downsample_by, max_steps, colored):
     norm = jnp.sqrt(dx * dx + dy * dy + dz * dz)
     dx, dy, dz = dx / norm, dy / norm, dz / norm
     dx, dy, dz = rotate_vectors(pose, dx, dy, dz)
-    ox = jnp.broadcast_to(pose[0, 3], (N,))
-    oy = jnp.broadcast_to(pose[1, 3], (N,))
-    oz = jnp.broadcast_to(pose[2, 3], (N,))
+    origins = jnp.broadcast_to(jnp.asarray(pose)[None, :3, 3], (N, 3))
+    return origins, jnp.stack([dx, dy, dz], -1)
 
-    from ..geometry import in_volume, voxel_index
+
+def render_rays(vol: TSDFVolume, origins, dirs, max_steps: int = 512,
+                colored: bool = False):
+    """March arbitrary rays through the volume (reference semantics).
+
+    Args: origins/dirs [N, 3] in the VOLUME frame (dirs unit length).
+    Returns a dict of flat [N]-shaped arrays: hit points (volume frame),
+    normals, t_star, validity masks, and optional rgb.
+    """
+    cfg = vol.config
+    sdf, weight = vol.sdf, vol.weight
+    N = origins.shape[0]
+    ox, oy, oz = origins[:, 0], origins[:, 1], origins[:, 2]
+    dx, dy, dz = dirs[:, 0], dirs[:, 1], dirs[:, 2]
+
+    min_step = cfg.max_dist_neg * 3.0 / 4.0
+    half_cell = (cfg.zsize / cfg.zres) / 2.0
+    cell_min = min(cfg.xsize / cfg.xres, cfg.ysize / cfg.yres, cfg.zsize / cfg.zres)
 
     sdf_flat = sdf.reshape(-1)
     w_flat = weight.reshape(-1)
@@ -111,9 +119,8 @@ def _render_view_jit(vol: TSDFVolume, pose, downsample_by, max_steps, colored):
         return d, wv, in_volume(cfg, x, y, z)
 
     # ---- Phase 1: coarse march (cpp:318-371) ----
-    t0 = jnp.full((N,), cfg.min_sensor_dist, jnp.float32)
     state = dict(
-        t=t0,
+        t=jnp.full((N,), cfg.min_sensor_dist, jnp.float32),
         step=jnp.full((N,), min_step, jnp.float32),
         d=jnp.zeros((N,), jnp.float32),
         w=jnp.zeros((N,), jnp.float32),
@@ -218,31 +225,65 @@ def _render_view_jit(vol: TSDFVolume, pose, downsample_by, max_steps, colored):
 
     # ---- Normals: central differences at +-1 voxel (cpp:398-419) ----
     csx, csy, csz = cfg.cell_size
-    nvalid = valid & _in_bounds(cfg, hx, hy, hz)
+    nvalid = valid & in_volume(cfg, hx, hy, hz)
 
-    def tri_at(x, y, z):
-        v, ok = tsdf_value(cfg, sdf, weight, x, y, z)
-        return v, ok
-
-    d_xm, ok0 = tri_at(hx - csx, hy, hz)
-    d_xp, ok1 = tri_at(hx + csx, hy, hz)
-    d_ym, ok2 = tri_at(hx, hy - csy, hz)
-    d_yp, ok3 = tri_at(hx, hy + csy, hz)
-    d_zm, ok4 = tri_at(hx, hy, hz - csz)
-    d_zp, ok5 = tri_at(hx, hy, hz + csz)
+    d_xm, ok0 = tsdf_value(cfg, sdf, weight, hx - csx, hy, hz)
+    d_xp, ok1 = tsdf_value(cfg, sdf, weight, hx + csx, hy, hz)
+    d_ym, ok2 = tsdf_value(cfg, sdf, weight, hx, hy - csy, hz)
+    d_yp, ok3 = tsdf_value(cfg, sdf, weight, hx, hy + csy, hz)
+    d_zm, ok4 = tsdf_value(cfg, sdf, weight, hx, hy, hz - csz)
+    d_zp, ok5 = tsdf_value(cfg, sdf, weight, hx, hy, hz + csz)
     nvalid &= ok0 & ok1 & ok2 & ok3 & ok4 & ok5
     nx = (d_xp - d_xm) * cfg.max_dist_neg / (2 * csx)
     ny = (d_yp - d_ym) * cfg.max_dist_neg / (2 * csy)
     nz = (d_zp - d_zm) * cfg.max_dist_neg / (2 * csz)
     nn = jnp.sqrt(nx * nx + ny * ny + nz * nz)
     nn = jnp.where(nn == 0, 1.0, nn)
-    nx, ny, nz = nx / nn, ny / nn, nz / nn
 
+    out = dict(
+        hit_x=hx, hit_y=hy, hit_z=hz,
+        normal_x=nx / nn, normal_y=ny / nn, normal_z=nz / nn,
+        t_star=t_star, valid=valid, normal_valid=nvalid,
+    )
+    if colored and vol.color is not None:
+        # renderColoredView (cpp:427-450): nearest-voxel color at the hit
+        # point in the volume frame.
+        ix, iy, iz, okc = voxel_index(cfg, hx, hy, hz)
+        lin = (jnp.clip(ix, 0, cfg.xres - 1) * cfg.yres
+               + jnp.clip(iy, 0, cfg.yres - 1)) * cfg.zres + jnp.clip(iz, 0, cfg.zres - 1)
+        ccols = vol.color.reshape(-1, vol.color.shape[-1])
+        vox_cols = jnp.take(ccols, lin, axis=0, mode="clip")
+        r, g, bb = color_ops.color_to_rgb(cfg.color_mode, vox_cols)
+        out["rgb_r"], out["rgb_g"], out["rgb_b"] = r, g, bb
+        out["rgb_valid"] = okc & valid
+    return out
+
+
+def render_view(vol: TSDFVolume, pose, downsample_by: int = 1,
+                max_steps: int = 512, colored: bool = False) -> RenderResult:
+    """Render the volume from a camera pose (camera-to-volume transform)."""
+    return _render_view_jit(vol, jnp.asarray(pose, jnp.float32), downsample_by,
+                            max_steps, colored)
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def _render_view_jit(vol: TSDFVolume, pose, downsample_by, max_steps, colored):
+    cfg = vol.config
+    W = cfg.image_width // downsample_by
+    H = cfg.image_height // downsample_by
+    origins, dirs = camera_rays(cfg, pose, downsample_by)
+    r = render_rays(vol, origins, dirs, max_steps=max_steps, colored=colored)
+    return assemble_view(cfg, pose, r, H, W)
+
+
+def assemble_view(cfg: TSDFConfig, pose, r: dict, H: int, W: int) -> RenderResult:
+    """Pack flat render_rays output into the camera-frame organized result."""
     nanv = jnp.float32(jnp.nan)
+    valid, nvalid = r["valid"], r["normal_valid"]
     # Transform hit points and normals back to the camera frame (cpp:422).
     pose_inv = rigid_inverse(pose)
-    px_c, py_c, pz_c = transform_points(pose_inv, hx, hy, hz)
-    nx_c, ny_c, nz_c = rotate_vectors(pose_inv, nx, ny, nz)
+    px_c, py_c, pz_c = transform_points(pose_inv, r["hit_x"], r["hit_y"], r["hit_z"])
+    nx_c, ny_c, nz_c = rotate_vectors(pose_inv, r["normal_x"], r["normal_y"], r["normal_z"])
     pts = jnp.stack([
         jnp.where(valid, px_c, nanv),
         jnp.where(valid, py_c, nanv),
@@ -253,30 +294,12 @@ def _render_view_jit(vol: TSDFVolume, pose, downsample_by, max_steps, colored):
         jnp.where(nvalid, ny_c, nanv),
         jnp.where(nvalid, nz_c, nanv),
     ], -1).reshape(H, W, 3)
-
     rgb = None
-    if colored and vol.color is not None:
-        # renderColoredView (cpp:427-450): nearest-voxel color at the hit point
-        # in the volume frame.
-        from ..geometry import voxel_index
-
-        ix, iy, iz, okc = voxel_index(cfg, hx, hy, hz)
-        lin = (jnp.clip(ix, 0, cfg.xres - 1) * cfg.yres
-               + jnp.clip(iy, 0, cfg.yres - 1)) * cfg.zres + jnp.clip(iz, 0, cfg.zres - 1)
-        ccols = vol.color.reshape(-1, vol.color.shape[-1])
-        vox_cols = jnp.take(ccols, lin, axis=0, mode="clip")
-        r, g, bb = color_ops.color_to_rgb(cfg.color_mode, vox_cols)
-        okc &= valid
+    if "rgb_r" in r:
+        okc = r["rgb_valid"]
         rgb = jnp.stack([
-            jnp.where(okc, r, nanv),
-            jnp.where(okc, g, nanv),
-            jnp.where(okc, bb, nanv),
+            jnp.where(okc, r["rgb_r"], nanv),
+            jnp.where(okc, r["rgb_g"], nanv),
+            jnp.where(okc, r["rgb_b"], nanv),
         ], -1).reshape(H, W, 3)
-
     return RenderResult(points=pts, normals=nrm, depth=pts[..., 2], rgb=rgb)
-
-
-def _in_bounds(cfg: TSDFConfig, x, y, z):
-    from ..geometry import in_volume
-
-    return in_volume(cfg, x, y, z)
