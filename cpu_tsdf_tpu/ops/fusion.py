@@ -44,32 +44,35 @@ from ..volume import TSDFVolume, voxel_centers_grid
 from . import color as color_ops
 
 
-def coarse_frustum_mask(cfg: TSDFConfig, trans_inv):
-    """Per-voxel mask replicating the reference's coarse-cell frustum culling.
+def coarse_cell_frustum(cfg: TSDFConfig, trans_inv, vx, vy, vz):
+    """Frustum test of the COARSE CELL containing voxel indices (vx, vy, vz).
 
-    The reference culls OCTREE CELLS at the max_cell level by testing their
-    centers against a 1.1x-FOV frustum (tsdf_volume_octree.cpp:619-652); every
-    fine voxel inside a culled-out cell is skipped for the whole frame, even if
-    it projects into the image. Returns a [xres,yres,zres] bool mask.
+    Replicates the reference's coarse-cell frustum culling: octree cells at
+    the max_cell level are tested by their centers against a 1.1x-FOV frustum
+    (tsdf_volume_octree.cpp:619-652); every fine voxel inside a culled-out
+    cell is skipped for the whole frame, even if it projects into the image.
+
+    Pure arithmetic per voxel (cell index -> cell center -> frustum test);
+    deliberately gather-free — TPU gathers are ~3 orders of magnitude slower
+    than the VPU math.
     """
     L = cfg.num_coarse_levels
     n = 1 << L  # coarse cells per axis (init subdivides uniformly, octree.cpp:585-599)
-    cw = cfg.with_updates(xres=n, yres=n, zres=n)
-    ix = jnp.arange(n, dtype=jnp.float32)[:, None, None]
-    iy = jnp.arange(n, dtype=jnp.float32)[None, :, None]
-    iz = jnp.arange(n, dtype=jnp.float32)[None, None, :]
-    from ..geometry import voxel_center
+    gx = (vx * n) // cfg.xres
+    gy = (vy * n) // cfg.yres
+    gz = (vz * n) // cfg.zres
+    ccx = (gx.astype(jnp.float32) + 0.5) * (cfg.xsize / n) - cfg.xsize / 2
+    ccy = (gy.astype(jnp.float32) + 0.5) * (cfg.ysize / n) - cfg.ysize / 2
+    ccz = (gz.astype(jnp.float32) + 0.5) * (cfg.zsize / n) - cfg.zsize / 2
+    return frustum_contains(cfg, trans_inv, ccx, ccy, ccz)
 
-    cx, cy, cz = voxel_center(cw, ix, iy, iz)
-    cx = jnp.broadcast_to(cx, (n, n, n))
-    cy = jnp.broadcast_to(cy, (n, n, n))
-    cz = jnp.broadcast_to(cz, (n, n, n))
-    coarse = frustum_contains(cfg, trans_inv, cx, cy, cz)
-    # Upsample: fine voxel i lives in coarse cell floor(i * n / res).
-    gx = (jnp.arange(cfg.xres) * n) // cfg.xres
-    gy = (jnp.arange(cfg.yres) * n) // cfg.yres
-    gz = (jnp.arange(cfg.zres) * n) // cfg.zres
-    return coarse[gx[:, None, None], gy[None, :, None], gz[None, None, :]]
+
+def coarse_frustum_mask(cfg: TSDFConfig, trans_inv):
+    """Dense [xres,yres,zres] version of :func:`coarse_cell_frustum`."""
+    vx = jnp.arange(cfg.xres, dtype=jnp.int32)[:, None, None]
+    vy = jnp.arange(cfg.yres, dtype=jnp.int32)[None, :, None]
+    vz = jnp.arange(cfg.zres, dtype=jnp.int32)[None, None, :]
+    return coarse_cell_frustum(cfg, trans_inv, vx, vy, vz)
 
 
 def _gather_image(img, v, u):

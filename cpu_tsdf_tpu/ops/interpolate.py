@@ -177,6 +177,90 @@ def hessian(cfg: TSDFConfig, sdf, x, y, z):
     return hess, valid
 
 
+# ---------------------------------------------------------------------------
+# volume-level API: works for dense TSDFVolume AND block-sparse BrickVolume
+# through the uniform gather in cpu_tsdf_tpu.bricks
+# ---------------------------------------------------------------------------
+
+def trilinear_vol(vol, x, y, z):
+    """Trilinear interpolation over either volume representation."""
+    from ..bricks import gather_dw
+
+    cfg = vol.config
+    ix, iy, iz, valid = _corner_base(cfg, x, y, z)
+    ixc = jnp.clip(ix, 0, cfg.xres - 2)
+    iyc = jnp.clip(iy, 0, cfg.yres - 2)
+    izc = jnp.clip(iz, 0, cfg.zres - 2)
+    vx, vy, vz = voxel_center(cfg, ixc, iyc, izc)
+    a = (x - vx) * cfg.xres / cfg.xsize
+    b = (y - vy) * cfg.yres / cfg.ysize
+    c = (z - vz) * cfg.zres / cfg.zsize
+    val = jnp.zeros_like(a)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                d, w = gather_dw(vol, ixc + dx, iyc + dy, izc + dz)
+                valid &= w > 0
+                wx = a if dx else (1 - a)
+                wy = b if dy else (1 - b)
+                wz = c if dz else (1 - c)
+                val = val + d * wx * wy * wz
+    return val, valid
+
+
+def nearest_vol(vol, x, y, z):
+    from ..bricks import gather_dw
+
+    cfg = vol.config
+    ix, iy, iz, exists = voxel_index(cfg, x, y, z)
+    d, w = gather_dw(vol, ix, iy, iz)
+    return d, exists & (w > 0)
+
+
+def tsdf_value_vol(vol, x, y, z):
+    """getTSDFValue dispatch (cpp:453-478) over either volume type."""
+    if vol.config.use_trilinear_interpolation:
+        return trilinear_vol(vol, x, y, z)
+    return nearest_vol(vol, x, y, z)
+
+
+def fxn_gradient_hessian_vol(vol, x, y, z):
+    """Tent-kernel value/grad/Hessian over either volume representation."""
+    from ..bricks import gather_dw
+
+    cfg = vol.config
+    ix, iy, iz, valid = _corner_base(cfg, x, y, z)
+    ixc = jnp.clip(ix, 0, cfg.xres - 2)
+    iyc = jnp.clip(iy, 0, cfg.yres - 2)
+    izc = jnp.clip(iz, 0, cfg.zres - 2)
+    c = cfg.xsize / cfg.xres
+    val = jnp.zeros_like(x)
+    gx = jnp.zeros_like(x); gy = jnp.zeros_like(x); gz = jnp.zeros_like(x)
+    hxy = jnp.zeros_like(x); hxz = jnp.zeros_like(x); hyz = jnp.zeros_like(x)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                ctr_x, ctr_y, ctr_z = voxel_center(cfg, ixc + dx, iyc + dy, izc + dz)
+                d, _ = gather_dw(vol, ixc + dx, iyc + dy, izc + dz)
+                rx, ry, rz = x - ctr_x, y - ctr_y, z - ctr_z
+                tx, ty, tz = c - jnp.abs(rx), c - jnp.abs(ry), c - jnp.abs(rz)
+                val += tx * ty * tz * d
+                gx += -_sgn(rx) * ty * tz * d
+                gy += tx * -_sgn(ry) * tz * d
+                gz += tx * ty * -_sgn(rz) * d
+                hxy += _sgn(rx) * _sgn(ry) * tz * d
+                hxz += _sgn(rx) * ty * _sgn(rz) * d
+                hyz += tx * _sgn(ry) * _sgn(rz) * d
+    c3 = c ** 3
+    zeros = jnp.zeros_like(hxy)
+    hess = jnp.stack([
+        jnp.stack([zeros, hxy, hxz], -1),
+        jnp.stack([hxy, zeros, hyz], -1),
+        jnp.stack([hxz, hyz, zeros], -1),
+    ], -2) / c3
+    return val / c3, jnp.stack([gx, gy, gz], -1) / c3, hess, valid
+
+
 def fxn_autodiff_gradient(cfg: TSDFConfig, sdf, x, y, z):
     """Gradient of the tent-kernel field via jax.grad — the "collapses into
     jax.grad" story from SURVEY §3.5; used in tests to cross-check the

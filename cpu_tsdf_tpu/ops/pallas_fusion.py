@@ -1,0 +1,214 @@
+"""Pallas TPU kernel for brick-batch projective TSDF fusion.
+
+Why a kernel: XLA's arbitrary gather on this TPU runs at ~0.1 G elements/s
+(measured), which makes the per-voxel depth-image lookup the dominant cost of
+integration. This kernel keeps the WHOLE depth image resident in VMEM and
+turns the lookup into MXU work:
+
+  1. per brick, dynamically slice a 128-row band of the depth image
+     (sublane-dynamic slices are cheap; lane-dynamic are not, so rows only);
+  2. row-select via a one-hot [B^3, 128] @ band [128, W] matmul on the MXU
+     (NaN-sanitized: a parallel matmul carries the NaN mask, since 0*NaN
+     would poison the one-hot product);
+  3. column-select via a one-hot mask + lane reduction on the VPU;
+  4. apply the exact reference fusion semantics (truncate -> normalize ->
+     weighted average -> cap; hpp:146-214, octree.cpp:153-163) per voxel.
+
+The kernel processes the gathered brick batch produced by
+cpu_tsdf_tpu.bricks, laid out voxel-major [B^3, K] so each grid step works on
+a native [B^3, 1] column (no in-kernel relayouts). Bricks whose image
+footprint exceeds the 128-row band (extremely close to the camera) are
+flagged and handled by the XLA fallback.
+
+Color fusion is not in the kernel (the XLA path handles color configs).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import TSDFConfig
+
+BAND_ROWS = 128  # depth rows visible to one brick's footprint
+
+
+def _kernel(cfg: TSDFConfig, B: int, W: int,
+            meta_ref, pose_ref, depth_ref, nanmask_ref,
+            d0_ref, w0_ref, M0_ref, n0_ref, frus_ref,
+            d1_ref, w1_ref, M1_ref, n1_ref):
+    """One grid step = one brick (B^3 voxels as a [B^3, 1] column)."""
+    V = B * B * B
+    k = pl.program_id(0)
+    base_x = meta_ref[k, 0]
+    base_y = meta_ref[k, 1]
+    base_z = meta_ref[k, 2]
+    v0 = meta_ref[k, 3]
+    ok_brick = meta_ref[k, 4]
+
+    # voxel centers in the volume frame, [V, 1]
+    l = jax.lax.broadcasted_iota(jnp.int32, (V, 1), 0)
+    lx = l // (B * B)
+    ly = (l // B) % B
+    lz = l % B
+    f32 = jnp.float32
+    cx = (jnp.asarray(base_x, f32) + lx.astype(f32) + 0.5) * (cfg.xsize / cfg.xres) - cfg.xsize / 2
+    cy = (jnp.asarray(base_y, f32) + ly.astype(f32) + 0.5) * (cfg.ysize / cfg.yres) - cfg.ysize / 2
+    cz = (jnp.asarray(base_z, f32) + lz.astype(f32) + 0.5) * (cfg.zsize / cfg.zres) - cfg.zsize / 2
+
+    # volume -> camera (pose_inv rows in pose_ref[0, 0:12])
+    p = lambda i: pose_ref[0, i]
+    vx = p(0) * cx + p(1) * cy + p(2) * cz + p(3)
+    vy = p(4) * cx + p(5) * cy + p(6) * cz + p(7)
+    vz = p(8) * cx + p(9) * cy + p(10) * cz + p(11)
+
+    in_range = (vz >= cfg.min_sensor_dist) & (vz <= cfg.max_sensor_dist)
+    zsafe = jnp.where(vz > 0, vz, 1.0)
+    uf = vx * cfg.focal_length_x / zsafe + cfg.principal_point_x
+    vf = vy * cfg.focal_length_y / zsafe + cfg.principal_point_y
+    u = jnp.trunc(uf).astype(jnp.int32)
+    v = jnp.trunc(vf).astype(jnp.int32)
+    proj_ok = (vz > 0) & (u >= 0) & (u < cfg.image_width) & (v >= 0) & (v < cfg.image_height)
+
+    # depth band: rows [v0, v0+BAND_ROWS); NaNs pre-zeroed, mask passed apart
+    band = depth_ref[pl.ds(v0, BAND_ROWS), :]            # [BAND_ROWS, W]
+    nband = nanmask_ref[pl.ds(v0, BAND_ROWS), :]         # 1.0 where NaN
+    vrel = jnp.clip(v - v0, 0, BAND_ROWS - 1)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (V, BAND_ROWS), 1)
+    row_onehot = (row_iota == vrel).astype(jnp.float32)  # [V, BAND_ROWS]
+    rows = jnp.dot(row_onehot, band, preferred_element_type=jnp.float32)   # [V, W]
+    nrows = jnp.dot(row_onehot, nband, preferred_element_type=jnp.float32)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (V, W), 1)
+    col_mask = (col_iota == jnp.clip(u, 0, W - 1)).astype(jnp.float32)
+    z_img = jnp.sum(rows * col_mask, axis=1, keepdims=True)                # [V, 1]
+    z_nan = jnp.sum(nrows * col_mask, axis=1, keepdims=True) > 0
+
+    valid = in_range & proj_ok & ~z_nan & (ok_brick > 0) & (frus_ref[:] > 0)
+    d_new = z_img - vz
+    valid &= d_new >= -cfg.max_dist_neg              # drop behind the band (hpp:193-196)
+    d_new = jnp.minimum(d_new, cfg.max_dist_pos) / cfg.max_dist_neg
+
+    w_new = jnp.ones_like(d_new)
+    if cfg.weight_by_depth:
+        w_new = w_new * (1.0 - jnp.minimum(z_img / 10.0, 1.0))
+
+    d0 = d0_ref[:]
+    w0 = w0_ref[:]
+    M0 = M0_ref[:]
+    n0 = n0_ref[:]
+
+    if cfg.weight_by_variance:
+        var = (M0 / jnp.where(w0 > 0, w0, 1.0)) * (n0.astype(f32)
+                                                   / jnp.maximum(n0 - 1, 1).astype(f32))
+        var = jnp.where(n0 < 5, jnp.inf, var)
+        scale = jnp.exp(-((d_new - d0) ** 2) / (2.0 * var))
+        w_new = w_new * jnp.where(n0 > 5, scale, 1.0)
+
+    wsum = w0 + w_new
+    d_upd = (d0 * w0 + d_new * w_new) / jnp.where(wsum > 0, wsum, 1.0)
+    w_upd = jnp.minimum(wsum, cfg.max_weight)
+    M_upd = M0 + w_new * (d_new - d_upd) * (d_new - d0)
+    n_upd = n0 + 1
+
+    d1_ref[:] = jnp.where(valid, d_upd, d0)
+    w1_ref[:] = jnp.where(valid, w_upd, w0)
+    M1_ref[:] = jnp.where(valid, M_upd, M0)
+    n1_ref[:] = jnp.where(valid, n_upd, n0)
+
+
+def brick_meta(cfg: TSDFConfig, B: int, bx, by, bz, slot_ok, pose_inv):
+    """Per-brick kernel metadata: voxel base coords, depth band row origin,
+    and the footprint-fits flag. Pure elementwise JAX."""
+    from ..geometry import transform_points
+
+    base_x, base_y, base_z = bx * B, by * B, bz * B
+    # project the 8 brick corners to bound the pixel-row footprint
+    vmin = jnp.full(bx.shape, jnp.inf, jnp.float32)
+    vmax = jnp.full(bx.shape, -jnp.inf, jnp.float32)
+    zmin = jnp.full(bx.shape, jnp.inf, jnp.float32)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                cxx = ((base_x + dx * B).astype(jnp.float32)) * (cfg.xsize / cfg.xres) - cfg.xsize / 2
+                cyy = ((base_y + dy * B).astype(jnp.float32)) * (cfg.ysize / cfg.yres) - cfg.ysize / 2
+                czz = ((base_z + dz * B).astype(jnp.float32)) * (cfg.zsize / cfg.zres) - cfg.zsize / 2
+                px, py, pz = transform_points(pose_inv, cxx, cyy, czz)
+                zs = jnp.where(pz > 1e-6, pz, jnp.inf)
+                vf = py * cfg.focal_length_y / zs + cfg.principal_point_y
+                vmin = jnp.minimum(vmin, vf)
+                vmax = jnp.maximum(vmax, vf)
+                zmin = jnp.minimum(zmin, pz)
+    H = cfg.image_height
+    rows_needed = vmax - jnp.maximum(vmin, 0.0)
+    # Bricks straddling the camera plane (zmin <= 0) or taller than the band
+    # fall back to the XLA path; bricks fully behind/outside still run through
+    # the kernel (their voxels simply fail proj_ok).
+    fits = (rows_needed < BAND_ROWS - 2) & (zmin > 0)
+    v0 = jnp.clip(jnp.floor(vmin).astype(jnp.int32) - 1, 0, max(H - BAND_ROWS, 0))
+    ok = slot_ok & fits
+    zero = jnp.zeros_like(base_x)
+    meta = jnp.stack([base_x, base_y, base_z, v0, ok.astype(jnp.int32),
+                      zero, zero, zero], -1).astype(jnp.int32)
+    return meta, ok
+
+
+@partial(jax.jit, static_argnums=(0, 1, 11))
+def fuse_bricks_pallas(cfg: TSDFConfig, B: int, meta, pose_inv_flat, depth,
+                       nanmask, d0, w0, M0, n0, frustum,
+                       interpret: bool = False):
+    """Run the fusion kernel over a brick batch.
+
+    meta: [K, 8] int32 from brick_meta; pose_inv_flat: [1, 12] f32 (row-major
+    3x4); depth/nanmask: [H', W'] padded via pad_depth (NaNs already zeroed in
+    depth, marked 1.0 in nanmask); batch arrays voxel-major [B^3, K];
+    frustum: [B^3, K] f32 (1.0 = coarse cell in frustum).
+    Returns updated (d1, w1, M1, n1), each [B^3, K].
+    """
+    V, K = d0.shape
+    W = depth.shape[1]
+    kern = partial(_kernel, cfg, B, W)
+    batch_spec = pl.BlockSpec((V, 1), lambda k, m: (0, k), memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(K,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                  # pose (1,12)
+            pl.BlockSpec(memory_space=pltpu.VMEM),                  # depth full
+            pl.BlockSpec(memory_space=pltpu.VMEM),                  # nanmask full
+            batch_spec, batch_spec, batch_spec, batch_spec, batch_spec,
+        ],
+        out_specs=[batch_spec, batch_spec, batch_spec, batch_spec],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((V, K), d0.dtype),
+        jax.ShapeDtypeStruct((V, K), w0.dtype),
+        jax.ShapeDtypeStruct((V, K), M0.dtype),
+        jax.ShapeDtypeStruct((V, K), n0.dtype),
+    ]
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(meta, pose_inv_flat, depth, nanmask, d0, w0, M0, n0, frustum)
+
+
+def pad_depth(depth):
+    """Pad to [>=BAND_ROWS rows, multiple-of-128 cols]; split NaNs out.
+
+    Returns (depth_clean, nanmask) — NaNs zeroed in depth_clean and marked
+    1.0 in nanmask (padding counts as NaN so out-of-image lookups are
+    invalid; in-kernel validity also bounds u/v by the true image size).
+    """
+    H, W = depth.shape
+    Hp = max(BAND_ROWS, H)
+    Wp = int(-(-W // 128) * 128)
+    out = jnp.full((Hp, Wp), jnp.nan, depth.dtype)
+    out = out.at[:H, :W].set(depth)
+    nanmask = jnp.isnan(out).astype(depth.dtype)
+    return jnp.where(jnp.isnan(out), 0.0, out), nanmask

@@ -46,7 +46,6 @@ from ..config import TSDFConfig
 from ..geometry import in_volume, rigid_inverse, rotate_vectors, transform_points, voxel_index
 from ..volume import TSDFVolume
 from . import color as color_ops
-from .interpolate import tsdf_value
 
 
 @jax.tree_util.register_dataclass
@@ -86,7 +85,7 @@ def camera_rays(cfg: TSDFConfig, pose, downsample_by: int = 1):
     return origins, jnp.stack([dx, dy, dz], -1)
 
 
-def render_rays(vol: TSDFVolume, origins, dirs, max_steps: int = 512,
+def render_rays(vol, origins, dirs, max_steps: int = 512,
                 colored: bool = False):
     """March arbitrary rays through the volume (reference semantics).
 
@@ -94,8 +93,10 @@ def render_rays(vol: TSDFVolume, origins, dirs, max_steps: int = 512,
     Returns a dict of flat [N]-shaped arrays: hit points (volume frame),
     normals, t_star, validity masks, and optional rgb.
     """
+    from ..bricks import gather_color, gather_dw
+    from .interpolate import tsdf_value_vol
+
     cfg = vol.config
-    sdf, weight = vol.sdf, vol.weight
     N = origins.shape[0]
     ox, oy, oz = origins[:, 0], origins[:, 1], origins[:, 2]
     dx, dy, dz = dirs[:, 0], dirs[:, 1], dirs[:, 2]
@@ -104,18 +105,13 @@ def render_rays(vol: TSDFVolume, origins, dirs, max_steps: int = 512,
     half_cell = (cfg.zsize / cfg.zres) / 2.0
     cell_min = min(cfg.xsize / cfg.xres, cfg.ysize / cfg.yres, cfg.zsize / cfg.zres)
 
-    sdf_flat = sdf.reshape(-1)
-    w_flat = weight.reshape(-1)
-
     def sample_nn(t):
         """Nearest-voxel (d, w, inside) at ray parameter t — the octree
-        getContainingVoxel + getData pair of the reference march loop."""
+        getContainingVoxel + getData pair of the reference march loop. Works
+        over dense and brick storage via the uniform gather."""
         x, y, z = ox + t * dx, oy + t * dy, oz + t * dz
         ix, iy, iz, _ = voxel_index(cfg, x, y, z)
-        lin = (jnp.clip(ix, 0, cfg.xres - 1) * cfg.yres
-               + jnp.clip(iy, 0, cfg.yres - 1)) * cfg.zres + jnp.clip(iz, 0, cfg.zres - 1)
-        d = jnp.take(sdf_flat, lin, mode="clip")
-        wv = jnp.take(w_flat, lin, mode="clip")
+        d, wv = gather_dw(vol, ix, iy, iz)
         return d, wv, in_volume(cfg, x, y, z)
 
     # ---- Phase 1: coarse march (cpp:318-371) ----
@@ -211,7 +207,7 @@ def render_rays(vol: TSDFVolume, origins, dirs, max_steps: int = 512,
 
     def tri(tq):
         x, y, z = ox + tq * dx, oy + tq * dy, oz + tq * dz
-        return tsdf_value(cfg, sdf, weight, x, y, z)
+        return tsdf_value_vol(vol, x, y, z)
 
     last_d_tri, valid_prev = tri(tprev)
     d_tri, valid_curr = tri(t)
@@ -227,12 +223,12 @@ def render_rays(vol: TSDFVolume, origins, dirs, max_steps: int = 512,
     csx, csy, csz = cfg.cell_size
     nvalid = valid & in_volume(cfg, hx, hy, hz)
 
-    d_xm, ok0 = tsdf_value(cfg, sdf, weight, hx - csx, hy, hz)
-    d_xp, ok1 = tsdf_value(cfg, sdf, weight, hx + csx, hy, hz)
-    d_ym, ok2 = tsdf_value(cfg, sdf, weight, hx, hy - csy, hz)
-    d_yp, ok3 = tsdf_value(cfg, sdf, weight, hx, hy + csy, hz)
-    d_zm, ok4 = tsdf_value(cfg, sdf, weight, hx, hy, hz - csz)
-    d_zp, ok5 = tsdf_value(cfg, sdf, weight, hx, hy, hz + csz)
+    d_xm, ok0 = tsdf_value_vol(vol, hx - csx, hy, hz)
+    d_xp, ok1 = tsdf_value_vol(vol, hx + csx, hy, hz)
+    d_ym, ok2 = tsdf_value_vol(vol, hx, hy - csy, hz)
+    d_yp, ok3 = tsdf_value_vol(vol, hx, hy + csy, hz)
+    d_zm, ok4 = tsdf_value_vol(vol, hx, hy, hz - csz)
+    d_zp, ok5 = tsdf_value_vol(vol, hx, hy, hz + csz)
     nvalid &= ok0 & ok1 & ok2 & ok3 & ok4 & ok5
     nx = (d_xp - d_xm) * cfg.max_dist_neg / (2 * csx)
     ny = (d_yp - d_ym) * cfg.max_dist_neg / (2 * csy)
@@ -249,17 +245,14 @@ def render_rays(vol: TSDFVolume, origins, dirs, max_steps: int = 512,
         # renderColoredView (cpp:427-450): nearest-voxel color at the hit
         # point in the volume frame.
         ix, iy, iz, okc = voxel_index(cfg, hx, hy, hz)
-        lin = (jnp.clip(ix, 0, cfg.xres - 1) * cfg.yres
-               + jnp.clip(iy, 0, cfg.yres - 1)) * cfg.zres + jnp.clip(iz, 0, cfg.zres - 1)
-        ccols = vol.color.reshape(-1, vol.color.shape[-1])
-        vox_cols = jnp.take(ccols, lin, axis=0, mode="clip")
+        vox_cols = gather_color(vol, ix, iy, iz)
         r, g, bb = color_ops.color_to_rgb(cfg.color_mode, vox_cols)
         out["rgb_r"], out["rgb_g"], out["rgb_b"] = r, g, bb
         out["rgb_valid"] = okc & valid
     return out
 
 
-def render_view(vol: TSDFVolume, pose, downsample_by: int = 1,
+def render_view(vol, pose, downsample_by: int = 1,
                 max_steps: int = 512, colored: bool = False) -> RenderResult:
     """Render the volume from a camera pose (camera-to-volume transform)."""
     return _render_view_jit(vol, jnp.asarray(pose, jnp.float32), downsample_by,
@@ -267,7 +260,7 @@ def render_view(vol: TSDFVolume, pose, downsample_by: int = 1,
 
 
 @partial(jax.jit, static_argnums=(2, 3, 4))
-def _render_view_jit(vol: TSDFVolume, pose, downsample_by, max_steps, colored):
+def _render_view_jit(vol, pose, downsample_by, max_steps, colored):
     cfg = vol.config
     W = cfg.image_width // downsample_by
     H = cfg.image_height // downsample_by

@@ -1,0 +1,142 @@
+"""Brick-sparse volume tests: allocation, integrate parity with dense,
+rendering, conversion, field queries, overflow reporting."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cpu_tsdf_tpu import TSDFConfig, integrate, make_volume, render_view
+from cpu_tsdf_tpu.bricks import (BrickVolume, from_dense, gather_dw, integrate_bricks,
+                                 make_brick_volume, to_dense)
+from cpu_tsdf_tpu.ops.interpolate import fxn_gradient_hessian_vol, tsdf_value_vol
+from cpu_tsdf_tpu.synthetic import sphere_depth
+
+from test_fusion import tilted_pose
+
+
+@pytest.fixture
+def scene(small_cfg):
+    cfg = small_cfg
+    pose = tilted_pose()
+    depth = sphere_depth(cfg, center=(-0.013, -0.021, 0.9), radius=0.3)
+    return cfg, pose, depth
+
+
+def test_brick_integrate_matches_dense_in_band(scene):
+    """Allocated brick voxels must match the dense fusion exactly; every
+    dense in-band update must land in an allocated brick."""
+    cfg, pose, depth = scene
+    dense = integrate(make_volume(cfg), jnp.asarray(depth), jnp.asarray(pose, jnp.float32))
+    bv = make_brick_volume(cfg, brick_size=8, capacity=2048)
+    bv = integrate_bricks(bv, jnp.asarray(depth), jnp.asarray(pose, jnp.float32))
+    assert not bool(bv.overflowed)
+    bd = to_dense(bv)
+
+    w_dense = np.asarray(dense.weight)
+    d_dense = np.asarray(dense.sdf)
+    w_brick = np.asarray(bd.weight)
+    d_brick = np.asarray(bd.sdf)
+
+    # every in-band dense observation (|d|<1 strictly inside the truncation
+    # band) must be reproduced bit-for-bit by the brick path
+    band = (w_dense > 0) & (np.abs(d_dense) < 0.999)
+    assert band.sum() > 500
+    # identical math, but separate compilations may fuse f32 ops differently
+    np.testing.assert_allclose(d_brick[band], d_dense[band], atol=2e-5)
+    np.testing.assert_array_equal(w_brick[band], w_dense[band])
+    # brick voxels never contain observations the dense path lacks
+    extra = (w_brick > 0) & (w_dense == 0)
+    assert extra.sum() == 0
+
+
+def test_brick_multiframe(scene):
+    cfg, pose, depth = scene
+    pose2 = tilted_pose(tx=0.063, ty=0.041, tz=-0.88)
+    dense = make_volume(cfg)
+    bv = make_brick_volume(cfg, brick_size=8, capacity=2048)
+    for p in (pose, pose2):
+        dense = integrate(dense, jnp.asarray(depth), jnp.asarray(p, jnp.float32))
+        bv = integrate_bricks(bv, jnp.asarray(depth), jnp.asarray(p, jnp.float32))
+    bd = to_dense(bv)
+    band = (np.asarray(dense.weight) > 0) & (np.abs(np.asarray(dense.sdf)) < 0.999)
+    np.testing.assert_allclose(np.asarray(bd.sdf)[band], np.asarray(dense.sdf)[band],
+                               atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(bd.weight)[band], np.asarray(dense.weight)[band])
+
+
+def test_brick_render_matches_dense(scene):
+    """Rendering a brick volume reproduces the dense render wherever the
+    pre-crossing approach stays inside allocated bricks."""
+    cfg, pose, depth = scene
+    dense = integrate(make_volume(cfg), jnp.asarray(depth), jnp.asarray(pose, jnp.float32))
+    bv = make_brick_volume(cfg, brick_size=8, capacity=2048)
+    bv = integrate_bricks(bv, jnp.asarray(depth), jnp.asarray(pose, jnp.float32))
+    rd = render_view(dense, pose)
+    rb = render_view(bv, pose)
+    dd, db = np.asarray(rd.depth), np.asarray(rb.depth)
+    both = ~np.isnan(dd) & ~np.isnan(db)
+    assert both.sum() > 0.8 * (~np.isnan(dd)).sum()
+    np.testing.assert_allclose(db[both], dd[both], atol=2e-3)
+
+
+def test_roundtrip_from_dense(scene):
+    cfg, pose, depth = scene
+    dense = integrate(make_volume(cfg), jnp.asarray(depth), jnp.asarray(pose, jnp.float32))
+    bv = from_dense(dense, brick_size=8)
+    back = to_dense(bv)
+    obs = np.asarray(dense.weight) > 0
+    np.testing.assert_array_equal(np.asarray(back.sdf)[obs], np.asarray(dense.sdf)[obs])
+    np.testing.assert_array_equal(np.asarray(back.weight), np.asarray(dense.weight))
+
+
+def test_gather_dw_unallocated_is_unobserved(small_cfg):
+    bv = make_brick_volume(small_cfg, brick_size=8, capacity=64)
+    d, w = gather_dw(bv, jnp.asarray([5]), jnp.asarray([5]), jnp.asarray([5]))
+    assert float(d[0]) == -1.0 and float(w[0]) == 0.0
+
+
+def test_field_queries_on_bricks(scene):
+    cfg, pose, depth = scene
+    dense = integrate(make_volume(cfg), jnp.asarray(depth), jnp.asarray(pose, jnp.float32))
+    bv = from_dense(dense, brick_size=8)
+    rng = np.random.RandomState(0)
+    # points near the sphere surface (volume frame): sphere center ~ (0,0,0)
+    pts = rng.uniform(-0.25, 0.25, size=(50, 3)).astype(np.float32)
+    pts = pts / np.linalg.norm(pts, axis=1, keepdims=True) * 0.3
+    vd, okd = tsdf_value_vol(dense, pts[:, 0], pts[:, 1], pts[:, 2])
+    vb, okb = tsdf_value_vol(bv, pts[:, 0], pts[:, 1], pts[:, 2])
+    np.testing.assert_array_equal(np.asarray(okd), np.asarray(okb))
+    sel = np.asarray(okd)
+    np.testing.assert_allclose(np.asarray(vd)[sel], np.asarray(vb)[sel], atol=1e-6)
+    _, gd, _, _ = fxn_gradient_hessian_vol(dense, pts[:, 0], pts[:, 1], pts[:, 2])
+    _, gb, _, _ = fxn_gradient_hessian_vol(bv, pts[:, 0], pts[:, 1], pts[:, 2])
+    sel3 = sel[:, None] & np.isfinite(np.asarray(gd))
+    np.testing.assert_allclose(np.asarray(gb)[sel3], np.asarray(gd)[sel3], atol=1e-4)
+
+
+def test_capacity_overflow_flag(scene):
+    cfg, pose, depth = scene
+    bv = make_brick_volume(cfg, brick_size=8, capacity=8)
+    bv = integrate_bricks(bv, jnp.asarray(depth), jnp.asarray(pose, jnp.float32))
+    assert bool(bv.overflowed)
+    assert int(bv.n_active) <= 8
+
+
+def test_update_budget_overflow(scene):
+    cfg, pose, depth = scene
+    bv = make_brick_volume(cfg, brick_size=8, capacity=2048)
+    bv = integrate_bricks(bv, jnp.asarray(depth), jnp.asarray(pose, jnp.float32),
+                          update_budget=4)
+    assert bool(bv.overflowed)
+
+
+def test_brick_count_reasonable(scene):
+    """Active bricks ~ surface shell, far below the dense brick count."""
+    cfg, pose, depth = scene
+    bv = make_brick_volume(cfg, brick_size=8, capacity=2048)
+    bv = integrate_bricks(bv, jnp.asarray(depth), jnp.asarray(pose, jnp.float32))
+    n = int(bv.n_active)
+    total = (cfg.xres // 8) ** 3
+    assert 0 < n < total // 2, (n, total)

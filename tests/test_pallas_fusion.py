@@ -1,0 +1,63 @@
+"""Pallas brick-fusion kernel: interpret-mode parity with the XLA path."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cpu_tsdf_tpu import integrate, make_volume
+from cpu_tsdf_tpu.bricks import integrate_bricks, make_brick_volume, to_dense
+from cpu_tsdf_tpu.synthetic import sphere_depth
+
+from test_fusion import tilted_pose
+
+
+def _run(cfg, poses, depth, use_pallas):
+    bv = make_brick_volume(cfg, brick_size=8, capacity=2048)
+    # small update budget: interpret-mode pallas executes the grid serially
+    for p in poses:
+        bv = integrate_bricks(bv, jnp.asarray(depth), jnp.asarray(p, jnp.float32),
+                              None, 512, use_pallas, use_pallas)
+    return bv
+
+
+def test_pallas_kernel_matches_xla_path(small_cfg):
+    cfg = small_cfg
+    pose = tilted_pose()
+    depth = sphere_depth(cfg, center=(-0.013, -0.021, 0.9), radius=0.3)
+    bx = _run(cfg, [pose], depth, use_pallas=False)
+    bp = _run(cfg, [pose], depth, use_pallas=True)
+    assert not bool(bp.overflowed)
+    assert int(bx.n_active) == int(bp.n_active)
+    np.testing.assert_allclose(np.asarray(bp.sdf), np.asarray(bx.sdf), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(bp.weight), np.asarray(bx.weight))
+    np.testing.assert_array_equal(np.asarray(bp.nsample), np.asarray(bx.nsample))
+    np.testing.assert_allclose(np.asarray(bp.M), np.asarray(bx.M), atol=1e-5)
+
+
+def test_pallas_two_frames_matches_dense(small_cfg):
+    cfg = small_cfg
+    poses = [tilted_pose(), tilted_pose(tx=0.063, ty=0.041, tz=-0.88)]
+    depth = sphere_depth(cfg, center=(-0.013, -0.021, 0.9), radius=0.3)
+    dense = make_volume(cfg)
+    for p in poses:
+        dense = integrate(dense, jnp.asarray(depth), jnp.asarray(p, jnp.float32))
+    bp = _run(cfg, poses, depth, use_pallas=True)
+    bd = to_dense(bp)
+    band = (np.asarray(dense.weight) > 0) & (np.abs(np.asarray(dense.sdf)) < 0.999)
+    assert band.sum() > 500
+    np.testing.assert_allclose(np.asarray(bd.sdf)[band], np.asarray(dense.sdf)[band],
+                               atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(bd.weight)[band],
+                                  np.asarray(dense.weight)[band])
+
+
+def test_pallas_weighting_options(small_cfg):
+    cfg = small_cfg.with_updates(weight_by_depth=True, weight_by_variance=True)
+    pose = tilted_pose()
+    depth = sphere_depth(cfg, center=(-0.013, -0.021, 0.9), radius=0.3)
+    # several frames so the variance gate (nsample > 5) engages
+    bx = _run(cfg, [pose] * 7, depth, use_pallas=False)
+    bp = _run(cfg, [pose] * 7, depth, use_pallas=True)
+    # the exp() in the variance gate amplifies f32 association differences
+    np.testing.assert_allclose(np.asarray(bp.sdf), np.asarray(bx.sdf), atol=1e-2)
+    np.testing.assert_allclose(np.asarray(bp.weight), np.asarray(bx.weight), atol=1e-2)
