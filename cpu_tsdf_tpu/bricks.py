@@ -319,18 +319,18 @@ def integrate_bricks(vol: BrickVolume, depth, pose, rgb=None,
         K = bsafe.shape[0]
         V = B * B * B
         meta, kernel_ok = brick_meta(cfg, B, bx, by, bz, slot_ok, pose_inv)
-        depth_c, nanmask = pad_depth(depth)
+        depth_c = pad_depth(depth)
         pose_flat = pose_inv[:3, :].reshape(1, 12)
-        t = lambda a: a.reshape(K, V).T
-        d1T, w1T, M1T, n1T = fuse_bricks_pallas(
-            cfg, B, meta, pose_flat, depth_c, nanmask,
+        t = lambda a: a.reshape(K, V)
+        d1f, w1f, M1f, n1f = fuse_bricks_pallas(
+            cfg, B, meta, pose_flat, depth_c,
             t(d0), t(w0), t(M0), t(n0), t(frustum.astype(jnp.float32)),
             pallas_interpret)
-        back = lambda aT, like: aT.T.reshape(K, B, B, B).astype(like.dtype)
-        d1 = back(d1T, d0)
-        w1 = back(w1T, w0)
-        M1 = back(M1T, M0)
-        n1 = back(n1T, n0)
+        back = lambda a, like: a.reshape(K, B, B, B).astype(like.dtype)
+        d1 = back(d1f, d0)
+        w1 = back(w1f, w0)
+        M1 = back(M1f, M0)
+        n1 = back(n1f, n0)
 
         # bricks the kernel skipped (footprint taller than its depth band)
         need_fb = jnp.any(slot_ok & ~kernel_ok)

@@ -3,24 +3,26 @@
 Why a kernel: XLA's arbitrary gather on this TPU runs at ~0.1 G elements/s
 (measured), which makes the per-voxel depth-image lookup the dominant cost of
 integration. This kernel keeps the WHOLE depth image resident in VMEM and
-turns the lookup into MXU work:
+turns the lookup into MXU work. Per brick:
 
-  1. per brick, dynamically slice a 128-row band of the depth image
-     (sublane-dynamic slices are cheap; lane-dynamic are not, so rows only);
-  2. row-select via a one-hot [B^3, 128] @ band [128, W] matmul on the MXU
-     (NaN-sanitized: a parallel matmul carries the NaN mask, since 0*NaN
-     would poison the one-hot product);
-  3. column-select via a one-hot mask + lane reduction on the VPU;
+  1. dynamically slice a 128-row band of the depth image (sublane-dynamic
+     slices are cheap on TPU; lane-dynamic are not, so rows only);
+  2. column-select on the MXU: band [128, W] @ onehot(u) [W, V] -> [128, V];
+  3. row-select on the VPU: sum over the 128 band rows masked by
+     (row == v - v0), giving z_img [1, V];
   4. apply the exact reference fusion semantics (truncate -> normalize ->
-     weighted average -> cap; hpp:146-214, octree.cpp:153-163) per voxel.
+     weighted average -> cap; hpp:146-214, octree.cpp:153-163), vectorized
+     over the GROUP bricks of the grid step as [GROUP, V] tiles.
 
-The kernel processes the gathered brick batch produced by
-cpu_tsdf_tpu.bricks, laid out voxel-major [B^3, K] so each grid step works on
-a native [B^3, 1] column (no in-kernel relayouts). Bricks whose image
-footprint exceeds the 128-row band (extremely close to the camera) are
-flagged and handled by the XLA fallback.
+NaN depth pixels are encoded as a large sentinel before the kernel (0 * NaN
+would poison the one-hot matmul), and any z >= SENTINEL/2 invalidates the
+observation.
 
-Color fusion is not in the kernel (the XLA path handles color configs).
+Batch layout: brick-major [K, B^3] (B^3 = 512 lanes = 4 f32 vregs; GROUP = 8
+bricks per grid step fills the sublanes). Bricks whose image footprint
+exceeds the 128-row band (extremely close to the camera) are flagged and
+handled by the XLA fallback in cpu_tsdf_tpu.bricks; color configs always use
+the XLA path.
 """
 
 from __future__ import annotations
@@ -35,60 +37,72 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import TSDFConfig
 
-BAND_ROWS = 128  # depth rows visible to one brick's footprint
+BAND_ROWS = 128    # depth rows visible to one brick's footprint
+GROUP = 8          # bricks per grid step (sublane dimension of the batch tile)
+NAN_SENTINEL = 1e9
 
 
 def _kernel(cfg: TSDFConfig, B: int, W: int,
-            meta_ref, pose_ref, depth_ref, nanmask_ref,
+            meta_ref, pose_ref, depth_ref,
             d0_ref, w0_ref, M0_ref, n0_ref, frus_ref,
             d1_ref, w1_ref, M1_ref, n1_ref):
-    """One grid step = one brick (B^3 voxels as a [B^3, 1] column)."""
+    """One grid step = GROUP bricks, voxels on lanes: tiles are [GROUP, V]."""
     V = B * B * B
     k = pl.program_id(0)
-    base_x = meta_ref[k, 0]
-    base_y = meta_ref[k, 1]
-    base_z = meta_ref[k, 2]
-    v0 = meta_ref[k, 3]
-    ok_brick = meta_ref[k, 4]
-
-    # voxel centers in the volume frame, [V, 1]
-    l = jax.lax.broadcasted_iota(jnp.int32, (V, 1), 0)
-    lx = l // (B * B)
-    ly = (l // B) % B
-    lz = l % B
     f32 = jnp.float32
-    cx = (jnp.asarray(base_x, f32) + lx.astype(f32) + 0.5) * (cfg.xsize / cfg.xres) - cfg.xsize / 2
-    cy = (jnp.asarray(base_y, f32) + ly.astype(f32) + 0.5) * (cfg.ysize / cfg.yres) - cfg.ysize / 2
-    cz = (jnp.asarray(base_z, f32) + lz.astype(f32) + 0.5) * (cfg.zsize / cfg.zres) - cfg.zsize / 2
 
-    # volume -> camera (pose_inv rows in pose_ref[0, 0:12])
+    # per-voxel local offsets within a brick, [1, V]
+    l = jax.lax.broadcasted_iota(jnp.int32, (1, V), 1)
+    lx = (l // (B * B)).astype(f32)
+    ly = ((l // B) % B).astype(f32)
+    lz = (l % B).astype(f32)
+
     p = lambda i: pose_ref[0, i]
-    vx = p(0) * cx + p(1) * cy + p(2) * cz + p(3)
-    vy = p(4) * cx + p(5) * cy + p(6) * cz + p(7)
-    vz = p(8) * cx + p(9) * cy + p(10) * cz + p(11)
+
+    z_rows = []
+    meta_rows = []
+    for i in range(GROUP):
+        bi = k * GROUP + i
+        base_x = meta_ref[bi, 0]
+        base_y = meta_ref[bi, 1]
+        base_z = meta_ref[bi, 2]
+        v0 = meta_ref[bi, 3]
+        ok_brick = meta_ref[bi, 4]
+
+        cx = (jnp.asarray(base_x, f32) + lx + 0.5) * (cfg.xsize / cfg.xres) - cfg.xsize / 2
+        cy = (jnp.asarray(base_y, f32) + ly + 0.5) * (cfg.ysize / cfg.yres) - cfg.ysize / 2
+        cz = (jnp.asarray(base_z, f32) + lz + 0.5) * (cfg.zsize / cfg.zres) - cfg.zsize / 2
+        vx = p(0) * cx + p(1) * cy + p(2) * cz + p(3)
+        vy = p(4) * cx + p(5) * cy + p(6) * cz + p(7)
+        vz = p(8) * cx + p(9) * cy + p(10) * cz + p(11)
+
+        zsafe = jnp.where(vz > 0, vz, 1.0)
+        uf = vx * cfg.focal_length_x / zsafe + cfg.principal_point_x
+        vf = vy * cfg.focal_length_y / zsafe + cfg.principal_point_y
+        u = jnp.trunc(uf).astype(jnp.int32)
+        v = jnp.trunc(vf).astype(jnp.int32)
+
+        # depth band rows [v0, v0 + BAND_ROWS)
+        band = depth_ref[pl.ds(v0, BAND_ROWS), :]                    # [BAND, W]
+        col_iota = jax.lax.broadcasted_iota(jnp.int32, (W, V), 0)
+        onehot_c = (col_iota == jnp.clip(u, 0, W - 1)).astype(f32)   # [W, V]
+        m1 = jnp.dot(band, onehot_c, preferred_element_type=f32)     # [BAND, V]
+        vrel = jnp.clip(v - v0, 0, BAND_ROWS - 1)
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (BAND_ROWS, V), 0)
+        row_mask = (row_iota == vrel).astype(f32)
+        z_rows.append(jnp.sum(m1 * row_mask, axis=0, keepdims=True))  # [1, V]
+        meta_rows.append((vz, u, v, ok_brick))
+
+    z_img = jnp.concatenate(z_rows, axis=0)                           # [G, V]
+    vz = jnp.concatenate([m[0] for m in meta_rows], axis=0)
+    u = jnp.concatenate([m[1] for m in meta_rows], axis=0)
+    v = jnp.concatenate([m[2] for m in meta_rows], axis=0)
+    ok_brick = jnp.stack([jnp.full((V,), m[3], jnp.int32) for m in meta_rows], 0)
 
     in_range = (vz >= cfg.min_sensor_dist) & (vz <= cfg.max_sensor_dist)
-    zsafe = jnp.where(vz > 0, vz, 1.0)
-    uf = vx * cfg.focal_length_x / zsafe + cfg.principal_point_x
-    vf = vy * cfg.focal_length_y / zsafe + cfg.principal_point_y
-    u = jnp.trunc(uf).astype(jnp.int32)
-    v = jnp.trunc(vf).astype(jnp.int32)
     proj_ok = (vz > 0) & (u >= 0) & (u < cfg.image_width) & (v >= 0) & (v < cfg.image_height)
-
-    # depth band: rows [v0, v0+BAND_ROWS); NaNs pre-zeroed, mask passed apart
-    band = depth_ref[pl.ds(v0, BAND_ROWS), :]            # [BAND_ROWS, W]
-    nband = nanmask_ref[pl.ds(v0, BAND_ROWS), :]         # 1.0 where NaN
-    vrel = jnp.clip(v - v0, 0, BAND_ROWS - 1)
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (V, BAND_ROWS), 1)
-    row_onehot = (row_iota == vrel).astype(jnp.float32)  # [V, BAND_ROWS]
-    rows = jnp.dot(row_onehot, band, preferred_element_type=jnp.float32)   # [V, W]
-    nrows = jnp.dot(row_onehot, nband, preferred_element_type=jnp.float32)
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (V, W), 1)
-    col_mask = (col_iota == jnp.clip(u, 0, W - 1)).astype(jnp.float32)
-    z_img = jnp.sum(rows * col_mask, axis=1, keepdims=True)                # [V, 1]
-    z_nan = jnp.sum(nrows * col_mask, axis=1, keepdims=True) > 0
-
-    valid = in_range & proj_ok & ~z_nan & (ok_brick > 0) & (frus_ref[:] > 0)
+    valid = in_range & proj_ok & (z_img < NAN_SENTINEL / 2) & (ok_brick > 0) \
+        & (frus_ref[:] > 0)
     d_new = z_img - vz
     valid &= d_new >= -cfg.max_dist_neg              # drop behind the band (hpp:193-196)
     d_new = jnp.minimum(d_new, cfg.max_dist_pos) / cfg.max_dist_neg
@@ -157,58 +171,53 @@ def brick_meta(cfg: TSDFConfig, B: int, bx, by, bz, slot_ok, pose_inv):
     return meta, ok
 
 
-@partial(jax.jit, static_argnums=(0, 1, 11))
+@partial(jax.jit, static_argnums=(0, 1, 10))
 def fuse_bricks_pallas(cfg: TSDFConfig, B: int, meta, pose_inv_flat, depth,
-                       nanmask, d0, w0, M0, n0, frustum,
-                       interpret: bool = False):
+                       d0, w0, M0, n0, frustum, interpret: bool = False):
     """Run the fusion kernel over a brick batch.
 
     meta: [K, 8] int32 from brick_meta; pose_inv_flat: [1, 12] f32 (row-major
-    3x4); depth/nanmask: [H', W'] padded via pad_depth (NaNs already zeroed in
-    depth, marked 1.0 in nanmask); batch arrays voxel-major [B^3, K];
-    frustum: [B^3, K] f32 (1.0 = coarse cell in frustum).
-    Returns updated (d1, w1, M1, n1), each [B^3, K].
+    3x4); depth: [H', W'] padded via pad_depth (NaNs replaced by the
+    sentinel); batch arrays brick-major [K, B^3] with K a multiple of GROUP;
+    frustum: [K, B^3] f32 (1.0 = coarse cell in frustum).
+    Returns updated (d1, w1, M1, n1), each [K, B^3].
     """
-    V, K = d0.shape
+    K, V = d0.shape
+    assert K % GROUP == 0, (K, GROUP)
     W = depth.shape[1]
     kern = partial(_kernel, cfg, B, W)
-    batch_spec = pl.BlockSpec((V, 1), lambda k, m: (0, k), memory_space=pltpu.VMEM)
+    batch_spec = pl.BlockSpec((GROUP, V), lambda k, m: (k, 0), memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(K,),
+        grid=(K // GROUP,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),                  # pose (1,12)
             pl.BlockSpec(memory_space=pltpu.VMEM),                  # depth full
-            pl.BlockSpec(memory_space=pltpu.VMEM),                  # nanmask full
             batch_spec, batch_spec, batch_spec, batch_spec, batch_spec,
         ],
         out_specs=[batch_spec, batch_spec, batch_spec, batch_spec],
     )
     out_shape = [
-        jax.ShapeDtypeStruct((V, K), d0.dtype),
-        jax.ShapeDtypeStruct((V, K), w0.dtype),
-        jax.ShapeDtypeStruct((V, K), M0.dtype),
-        jax.ShapeDtypeStruct((V, K), n0.dtype),
+        jax.ShapeDtypeStruct((K, V), d0.dtype),
+        jax.ShapeDtypeStruct((K, V), w0.dtype),
+        jax.ShapeDtypeStruct((K, V), M0.dtype),
+        jax.ShapeDtypeStruct((K, V), n0.dtype),
     ]
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(meta, pose_inv_flat, depth, nanmask, d0, w0, M0, n0, frustum)
+    )(meta, pose_inv_flat, depth, d0, w0, M0, n0, frustum)
 
 
 def pad_depth(depth):
-    """Pad to [>=BAND_ROWS rows, multiple-of-128 cols]; split NaNs out.
-
-    Returns (depth_clean, nanmask) — NaNs zeroed in depth_clean and marked
-    1.0 in nanmask (padding counts as NaN so out-of-image lookups are
-    invalid; in-kernel validity also bounds u/v by the true image size).
-    """
+    """Pad to [>=BAND_ROWS rows, multiple-of-128 cols] and replace NaN with
+    the sentinel (out-of-image / missing pixels read back >= SENTINEL and are
+    rejected by the kernel's validity test)."""
     H, W = depth.shape
     Hp = max(BAND_ROWS, H)
     Wp = int(-(-W // 128) * 128)
-    out = jnp.full((Hp, Wp), jnp.nan, depth.dtype)
-    out = out.at[:H, :W].set(depth)
-    nanmask = jnp.isnan(out).astype(depth.dtype)
-    return jnp.where(jnp.isnan(out), 0.0, out), nanmask
+    out = jnp.full((Hp, Wp), jnp.float32(NAN_SENTINEL))
+    out = out.at[:H, :W].set(jnp.where(jnp.isnan(depth), NAN_SENTINEL, depth))
+    return out
