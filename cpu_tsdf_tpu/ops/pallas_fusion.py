@@ -66,7 +66,9 @@ def _kernel(cfg: TSDFConfig, B: int, W: int,
         base_x = meta_ref[bi, 0]
         base_y = meta_ref[bi, 1]
         base_z = meta_ref[bi, 2]
-        v0 = meta_ref[bi, 3]
+        # Mosaic requires dynamic sublane-slice starts it can prove aligned:
+        # meta carries v0/8, re-scaled with a multiple_of hint here.
+        v0 = pl.multiple_of(meta_ref[bi, 3] * 8, 8)
         ok_brick = meta_ref[bi, 4]
 
         cx = (jnp.asarray(base_x, f32) + lx + 0.5) * (cfg.xsize / cfg.xres) - cfg.xsize / 2
@@ -162,11 +164,14 @@ def brick_meta(cfg: TSDFConfig, B: int, bx, by, bz, slot_ok, pose_inv):
     # Bricks straddling the camera plane (zmin <= 0) or taller than the band
     # fall back to the XLA path; bricks fully behind/outside still run through
     # the kernel (their voxels simply fail proj_ok).
-    fits = (rows_needed < BAND_ROWS - 2) & (zmin > 0)
+    # band start is aligned DOWN to a multiple of 8 (Mosaic sublane tiling),
+    # so the usable band shrinks by up to 7 rows
+    fits = (rows_needed < BAND_ROWS - 10) & (zmin > 0)
     v0 = jnp.clip(jnp.floor(vmin).astype(jnp.int32) - 1, 0, max(H - BAND_ROWS, 0))
+    v0 = (v0 // 8) * 8
     ok = slot_ok & fits
     zero = jnp.zeros_like(base_x)
-    meta = jnp.stack([base_x, base_y, base_z, v0, ok.astype(jnp.int32),
+    meta = jnp.stack([base_x, base_y, base_z, v0 // 8, ok.astype(jnp.int32),
                       zero, zero, zero], -1).astype(jnp.int32)
     return meta, ok
 
@@ -216,7 +221,7 @@ def pad_depth(depth):
     the sentinel (out-of-image / missing pixels read back >= SENTINEL and are
     rejected by the kernel's validity test)."""
     H, W = depth.shape
-    Hp = max(BAND_ROWS, H)
+    Hp = max(BAND_ROWS, int(-(-H // 8) * 8))
     Wp = int(-(-W // 128) * 128)
     out = jnp.full((Hp, Wp), jnp.float32(NAN_SENTINEL))
     out = out.at[:H, :W].set(jnp.where(jnp.isnan(depth), NAN_SENTINEL, depth))
