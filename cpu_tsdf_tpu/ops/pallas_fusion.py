@@ -176,10 +176,16 @@ def brick_meta(cfg: TSDFConfig, B: int, bx, by, bz, slot_ok, pose_inv):
     return meta, ok
 
 
+# Scalar-prefetch metadata lives in SMEM; more than ~1024 bricks of it per
+# pallas_call overflows SMEM and crashes the Mosaic compiler (bisected), so
+# larger batches run as a sequence of chunked calls.
+MAX_BRICKS_PER_CALL = 1024
+
+
 @partial(jax.jit, static_argnums=(0, 1, 10))
 def fuse_bricks_pallas(cfg: TSDFConfig, B: int, meta, pose_inv_flat, depth,
                        d0, w0, M0, n0, frustum, interpret: bool = False):
-    """Run the fusion kernel over a brick batch.
+    """Run the fusion kernel over a brick batch (chunked over SMEM capacity).
 
     meta: [K, 8] int32 from brick_meta; pose_inv_flat: [1, 12] f32 (row-major
     3x4); depth: [H', W'] padded via pad_depth (NaNs replaced by the
@@ -189,6 +195,14 @@ def fuse_bricks_pallas(cfg: TSDFConfig, B: int, meta, pose_inv_flat, depth,
     """
     K, V = d0.shape
     assert K % GROUP == 0, (K, GROUP)
+    if K > MAX_BRICKS_PER_CALL:
+        outs = []
+        for s in range(0, K, MAX_BRICKS_PER_CALL):
+            e = min(s + MAX_BRICKS_PER_CALL, K)
+            outs.append(fuse_bricks_pallas(
+                cfg, B, meta[s:e], pose_inv_flat, depth,
+                d0[s:e], w0[s:e], M0[s:e], n0[s:e], frustum[s:e], interpret))
+        return tuple(jnp.concatenate([o[i] for o in outs], 0) for i in range(4))
     W = depth.shape[1]
     kern = partial(_kernel, cfg, B, W)
     batch_spec = pl.BlockSpec((GROUP, V), lambda k, m: (k, 0), memory_space=pltpu.VMEM)
