@@ -161,9 +161,12 @@ def _band_brick_mask(vol: BrickVolume, depth, pose):
     H, W = depth.shape
     cell = min(cfg.cell_size)
     band_lo, band_hi = -(cfg.max_dist_neg + cell), cfg.max_dist_pos + cell
-    # voxel-granularity sampling along the band segment: every in-band voxel
-    # center lies on its pixel's ray, so a sample lands in (or next to) it
-    spacing = cell
+    # Full-brick sample spacing is rigorous BECAUSE of the one-brick dilation
+    # below: an in-band voxel center lies on its pixel's segment within
+    # spacing/2 = B*cell/2 of some sample, which can cross at most one brick
+    # boundary per axis — covered by the dilation. Fewer passes = fewer of
+    # the (slow) TPU scatters.
+    spacing = B * cell
     n_samples = int(np.ceil((band_hi - band_lo) / spacing)) + 1
 
     uu = jnp.arange(W, dtype=jnp.float32)[None, :]
