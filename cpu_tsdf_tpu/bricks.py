@@ -205,14 +205,20 @@ def _band_brick_mask(vol: BrickVolume, depth, pose):
 
 
 def _allocate(vol: BrickVolume, want_mask):
-    """Allocate slots for newly-active bricks (prefix-sum assignment)."""
+    """Allocate slots for newly-active bricks (prefix-sum assignment).
+
+    The LAST row (capacity - 1) is reserved as a write-off dump for the
+    in-place Pallas kernel (inactive grid steps read and re-write it), so the
+    usable capacity is capacity - 1 slots.
+    """
+    usable = vol.capacity - 1
     new = want_mask & (vol.brick_map < 0)
     flat = new.reshape(-1).astype(jnp.int32)
     rank = jnp.cumsum(flat) - 1          # rank among new bricks
     n_new = jnp.sum(flat)
     slots = vol.n_active + rank
-    overflow = (vol.n_active + n_new) > vol.capacity
-    ok = (flat > 0) & (slots < vol.capacity)
+    overflow = (vol.n_active + n_new) > usable
+    ok = (flat > 0) & (slots < usable)
     slots_safe = jnp.where(ok, slots, vol.capacity)  # dump row for overflow
     # brick_map: newly-allocated bricks get their slot id; overflowed ones
     # stay unallocated (-1) and set the overflow flag
@@ -225,7 +231,7 @@ def _allocate(vol: BrickVolume, want_mask):
     bc = jnp.stack([bidx // (nby * nbz), (bidx // nbz) % nby, bidx % nbz], -1)
     # slots_safe == capacity marks overflow/non-new bricks; mode="drop" skips
     coords = vol.coords.at[slots_safe].set(jnp.where(ok[:, None], bc, 0), mode="drop")
-    n_active = jnp.minimum(vol.n_active + n_new, vol.capacity).astype(jnp.int32)
+    n_active = jnp.minimum(vol.n_active + n_new, usable).astype(jnp.int32)
     return dataclasses.replace(
         vol, brick_map=brick_map, coords=coords, n_active=n_active,
         overflowed=vol.overflowed | overflow)
@@ -317,47 +323,69 @@ def integrate_bricks(vol: BrickVolume, depth, pose, rgb=None,
 
     color_active = vol.color is not None and rgb is not None
     if use_pallas and not color_active:
-        from .ops.pallas_fusion import brick_meta, fuse_bricks_pallas, pad_depth
+        from .ops.pallas_fusion import brick_meta, fuse_bricks_inplace, pad_depth
 
         K = bsafe.shape[0]
         V = B * B * B
+        C = vol.capacity
         meta, kernel_ok = brick_meta(cfg, B, bx, by, bz, slot_ok, pose_inv)
+        # slot column: inactive/oversize bricks write to the reserved dump row
+        # C-1 (never allocated — see _allocate), reading/writing it unchanged
+        kern_slot = jnp.where(slot_ok & kernel_ok, slots, C - 1).astype(jnp.int32)
+        meta = meta.at[:, 4].set((slot_ok & kernel_ok).astype(jnp.int32))
+        meta = meta.at[:, 5].set(kern_slot)
         depth_c = pad_depth(depth)
         pose_flat = pose_inv[:3, :].reshape(1, 12)
-        t = lambda a: a.reshape(K, V)
-        d1f, w1f, M1f, n1f = fuse_bricks_pallas(
-            cfg, B, meta, pose_flat, depth_c,
-            t(d0), t(w0), t(M0), t(n0), t(frustum.astype(jnp.float32)),
-            pallas_interpret)
-        back = lambda a, like: a.reshape(K, B, B, B).astype(like.dtype)
-        d1 = back(d1f, d0)
-        w1 = back(w1f, w0)
-        M1 = back(M1f, M0)
-        n1 = back(n1f, n0)
 
-        # bricks the kernel skipped (footprint taller than its depth band)
+        # fallback rows (footprint taller than the kernel's depth band) are
+        # computed from the PRE-update state under a cond (rare; usually skipped)
         need_fb = jnp.any(slot_ok & ~kernel_ok)
 
-        def with_fallback(_):
+        def compute_fb(_):
             du, wu, Mu, nu, _, _, _, _ = xla_update()
-            sel = (~kernel_ok)[:, None, None, None]
-            return (jnp.where(sel, du, d1), jnp.where(sel, wu, w1),
-                    jnp.where(sel, Mu, M1), jnp.where(sel, nu, n1))
+            return du, wu, Mu, nu
 
-        d1, w1, M1, n1 = jax.lax.cond(
-            need_fb, with_fallback, lambda _: (d1, w1, M1, n1), None)
-        new_color = vol.color
-    else:
-        d1, w1, M1, n1, valid, w_eff, u, v = xla_update()
-        new_color = vol.color
-        if color_active:
-            c0 = jnp.take(vol.color, slots_c, axis=0)
-            rr = _gather_img(rgb[..., 0], v, u)
-            gg = _gather_img(rgb[..., 1], v, u)
-            bb = _gather_img(rgb[..., 2], v, u)
-            cu = color_ops.update_color(cfg.color_mode, c0, w0, rr, gg, bb, w_eff)
-            cu = jnp.where(valid[..., None], cu, c0)
-            new_color = vol.color.at[slots].set(cu, mode="drop")
+        def zero_fb(_):
+            z = jnp.zeros((K, B, B, B))
+            return z, z, z, jnp.zeros((K, B, B, B), n0.dtype)
+
+        fb = jax.lax.cond(need_fb, compute_fb, zero_fb, None)
+
+        d1f, w1f, M1f, n1f = fuse_bricks_inplace(
+            cfg, B, meta, pose_flat,
+            vol.sdf.reshape(C, V), vol.weight.reshape(C, V),
+            vol.M.reshape(C, V), vol.nsample.reshape(C, V),
+            pallas_interpret, depth=depth_c)
+        shape4 = (C, B, B, B)
+        new_sdf = d1f.reshape(shape4)
+        new_w = w1f.reshape(shape4)
+        new_M = M1f.reshape(shape4)
+        new_n = n1f.reshape(shape4)
+
+        def apply_fb(arrays):
+            sdf_, w_, M_, n_ = arrays
+            fb_slots = jnp.where(slot_ok & ~kernel_ok, slots, C)  # C -> dropped
+            return (sdf_.at[fb_slots].set(fb[0], mode="drop"),
+                    w_.at[fb_slots].set(fb[1], mode="drop"),
+                    M_.at[fb_slots].set(fb[2], mode="drop"),
+                    n_.at[fb_slots].set(fb[3], mode="drop"))
+
+        new_sdf, new_w, new_M, new_n = jax.lax.cond(
+            need_fb, apply_fb, lambda a: a, (new_sdf, new_w, new_M, new_n))
+        return dataclasses.replace(
+            vol, sdf=new_sdf, weight=new_w, M=new_M, nsample=new_n,
+            overflowed=vol.overflowed | overflow)
+
+    d1, w1, M1, n1, valid, w_eff, u, v = xla_update()
+    new_color = vol.color
+    if color_active:
+        c0 = jnp.take(vol.color, slots_c, axis=0)
+        rr = _gather_img(rgb[..., 0], v, u)
+        gg = _gather_img(rgb[..., 1], v, u)
+        bb = _gather_img(rgb[..., 2], v, u)
+        cu = color_ops.update_color(cfg.color_mode, c0, w0, rr, gg, bb, w_eff)
+        cu = jnp.where(valid[..., None], cu, c0)
+        new_color = vol.color.at[slots].set(cu, mode="drop")
 
     # invalid rows carry slot == capacity, which mode="drop" skips — so they
     # never clobber real slots (in particular not the clipped slot they read)

@@ -126,6 +126,40 @@ def marching_cubes(vol: TSDFVolume, min_weight: float = DEFAULT_MIN_WEIGHT,
     dcorn = jnp.take(d_flat, lin, mode="clip")  # [B, 8] normalized
     vals = dcorn * cfg.max_dist_neg             # meters (cpp:105)
 
+    return _emit_soup(cfg, vol.global_transform, ci, cj, ck, vals, cube_ok,
+                      _center_rgb(vol, (ci * cfg.yres + cj) * cfg.zres + ck,
+                                  color_by_rgb, color_by_confidence),
+                      n_active > max_cubes)
+
+
+
+
+def _center_rgb(vol, lin_center, color_by_rgb, color_by_confidence):
+    """Per-cube vertex color from the center voxel (cpp:216-230), or None."""
+    cfg = vol.config
+    if color_by_rgb and vol.color is not None:
+        c_flat = vol.color.reshape(-1, vol.color.shape[-1])
+        vox_col = jnp.take(c_flat, lin_center, axis=0, mode="clip")
+        r, g, b = color_ops.color_to_rgb(cfg.color_mode, vox_col)
+        return jnp.stack([r, g, b], -1)
+    if color_by_confidence:
+        w_flat = vol.weight.reshape(-1)
+        wv = jnp.take(w_flat, lin_center, mode="clip")
+        std_dev = (100.0 - wv) / 100.0
+        r = jnp.clip((1.0 - std_dev) * 255.0, 0.0, 255.0)
+        b = jnp.clip(std_dev * 255.0, 0.0, 255.0)
+        return jnp.stack([r, jnp.zeros_like(r), b], -1)
+    return None
+
+
+def _emit_soup(cfg, global_transform, ci, cj, ck, vals, cube_ok, center_rgb,
+               overflowed) -> MeshSoup:
+    """Shared triangle-emission stage: table lookup + edge interpolation.
+
+    ci/cj/ck: [N] lower-corner voxel indices; vals: [N, 8] corner values in
+    meters; cube_ok: [N] mask; center_rgb: [N, 3] or None.
+    """
+    offs = jnp.asarray(np.asarray(CORNER_OFFSETS))
     # cubeindex: bit i set iff corner value < iso(=0), PCL rule.
     bits = (vals < 0.0).astype(jnp.int32)
     cubeindex = jnp.sum(bits * (1 << jnp.arange(8, dtype=jnp.int32))[None, :], axis=1)
@@ -135,7 +169,7 @@ def marching_cubes(vol: TSDFVolume, min_weight: float = DEFAULT_MIN_WEIGHT,
                               ck.astype(jnp.float32))
     cell = jnp.asarray(cfg.cell_size, jnp.float32)
     corner_pos = (jnp.stack([cx, cy, cz], -1)[:, None, :]
-                  + offs[None, :, :].astype(jnp.float32) * cell[None, None, :])  # [B,8,3]
+                  + offs[None, :, :].astype(jnp.float32) * cell[None, None, :])  # [N,8,3]
     e_a = jnp.asarray(EDGE_CORNERS[:, 0])
     e_b = jnp.asarray(EDGE_CORNERS[:, 1])
     v1 = jnp.take_along_axis(vals, jnp.broadcast_to(e_a[None, :], (vals.shape[0], 12)), 1)
@@ -144,56 +178,42 @@ def marching_cubes(vol: TSDFVolume, min_weight: float = DEFAULT_MIN_WEIGHT,
     p2 = jnp.take_along_axis(corner_pos, jnp.broadcast_to(e_b[None, :, None], (vals.shape[0], 12, 3)), 1)
     denom = v2 - v1
     mu = jnp.where(denom == 0, 0.5, (0.0 - v1) / jnp.where(denom == 0, 1.0, denom))
-    edge_pts = p1 + mu[..., None] * (p2 - p1)  # [B, 12, 3]
+    edge_pts = p1 + mu[..., None] * (p2 - p1)  # [N, 12, 3]
 
     # Triangle emission via table lookup.
     tri_tab = jnp.asarray(TRI_TABLE.astype(np.int32))       # [256, 3*MAX]
     tri_cnt = jnp.asarray(TRI_COUNT)                        # [256]
-    entries = tri_tab[cubeindex]                            # [B, 3*MAX]
-    ntris = jnp.where(cube_ok, tri_cnt[cubeindex], 0)       # [B]
-    B = vals.shape[0]
+    entries = tri_tab[cubeindex]                            # [N, 3*MAX]
+    ntris = jnp.where(cube_ok, tri_cnt[cubeindex], 0)       # [N]
+    N = vals.shape[0]
     M = MAX_TRIS_PER_CUBE
-    edge_ids = jnp.maximum(entries, 0).reshape(B, M, 3)     # [B, M, 3]
+    edge_ids = jnp.maximum(entries, 0).reshape(N, M, 3)     # [N, M, 3]
     tri_verts = jnp.take_along_axis(
-        edge_pts[:, None, :, :].repeat(M, axis=1).reshape(B * M, 12, 3),
-        edge_ids.reshape(B * M, 3)[:, :, None].repeat(3, axis=2), axis=1,
-    ).reshape(B, M, 3, 3)
+        edge_pts[:, None, :, :].repeat(M, axis=1).reshape(N * M, 12, 3),
+        edge_ids.reshape(N * M, 3)[:, :, None].repeat(3, axis=2), axis=1,
+    ).reshape(N, M, 3, 3)
     slot = jnp.arange(M, dtype=jnp.int32)[None, :]
-    tri_valid = (slot < ntris[:, None]).reshape(B * M)
-    vertices = tri_verts.reshape(B * M, 3, 3)
+    tri_valid = (slot < ntris[:, None]).reshape(N * M)
+    vertices = tri_verts.reshape(N * M, 3, 3)
 
     # Apply the global transform (cpp:122,128).
-    gt = vol.global_transform
-    vx, vy, vz = transform_points(gt, vertices[..., 0], vertices[..., 1], vertices[..., 2])
+    vx, vy, vz = transform_points(global_transform, vertices[..., 0],
+                                  vertices[..., 1], vertices[..., 2])
     vertices = jnp.stack([vx, vy, vz], -1)
 
     colors = None
-    if color_by_rgb and vol.color is not None:
-        # Vertex color = center voxel's fused color (cpp:224-230).
-        c_flat = vol.color.reshape(-1, vol.color.shape[-1])
-        lin_center = (ci * cfg.yres + cj) * cfg.zres + ck
-        vox_col = jnp.take(c_flat, lin_center, axis=0, mode="clip")
-        r, g, b = color_ops.color_to_rgb(cfg.color_mode, vox_col)
-        rgb = jnp.stack([r, g, b], -1)  # [B, 3]
-        colors = jnp.broadcast_to(rgb[:, None, None, :], (B, M, 3, 3)).reshape(B * M, 3, 3)
-    elif color_by_confidence:
-        # (100 - w)/100 red/blue ramp (cpp:216-223).
-        w_flat = vol.weight.reshape(-1)
-        lin_center = (ci * cfg.yres + cj) * cfg.zres + ck
-        wv = jnp.take(w_flat, lin_center, mode="clip")
-        std_dev = (100.0 - wv) / 100.0
-        r = jnp.clip((1.0 - std_dev) * 255.0, 0.0, 255.0)
-        b = jnp.clip(std_dev * 255.0, 0.0, 255.0)
-        rgb = jnp.stack([r, jnp.zeros_like(r), b], -1)
-        colors = jnp.broadcast_to(rgb[:, None, None, :], (B, M, 3, 3)).reshape(B * M, 3, 3)
+    if center_rgb is not None:
+        colors = jnp.broadcast_to(center_rgb[:, None, None, :],
+                                  (N, M, 3, 3)).reshape(N * M, 3, 3)
 
     return MeshSoup(
         vertices=vertices,
         colors=colors,
         tri_valid=tri_valid,
         num_triangles=jnp.sum(ntris),
-        overflowed=n_active > max_cubes,
+        overflowed=overflowed,
     )
+
 
 
 def count_active_cubes(vol: TSDFVolume, min_weight: float = DEFAULT_MIN_WEIGHT) -> int:
@@ -208,6 +228,10 @@ def extract_mesh(vol: TSDFVolume, min_weight: float = DEFAULT_MIN_WEIGHT,
 
     Returns (vertices [N*3, 3], faces [N, 3], colors [N*3, 3] | None).
     """
+    from ..bricks import BrickVolume
+
+    if isinstance(vol, BrickVolume):
+        return extract_mesh_bricks(vol, min_weight, color_by_rgb, color_by_confidence)
     if max_cubes is None:
         n = count_active_cubes(vol, min_weight)
         max_cubes = max(1024, 1 << int(np.ceil(np.log2(max(n, 1)))))
@@ -216,3 +240,92 @@ def extract_mesh(vol: TSDFVolume, min_weight: float = DEFAULT_MIN_WEIGHT,
         raise RuntimeError(
             f"marching_cubes budget {max_cubes} overflowed; pass a larger max_cubes")
     return soup.to_numpy()
+
+
+# ---------------------------------------------------------------------------
+# brick-native extraction (no dense materialization — the 2048^3 path)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _marching_cubes_brick_chunk(bv, slot0, n_slots: int, min_weight: float,
+                                color_by_rgb: bool, color_by_confidence: bool) -> MeshSoup:
+    """Triangles for cubes whose lower-corner voxel lies in bricks
+    [slot0, slot0 + n_slots). Every voxel belongs to exactly one brick, so
+    chunks never duplicate cubes."""
+    from ..bricks import gather_dw
+
+    cfg = bv.config
+    B = bv.brick_size
+    V = B * B * B
+    coords = jax.lax.dynamic_slice(bv.coords, (slot0, 0), (n_slots, 3))
+    slot_ids = slot0 + jnp.arange(n_slots, dtype=jnp.int32)
+    slot_live = (slot_ids < bv.n_active) & (coords[:, 0] >= 0)
+
+    li = jnp.arange(B, dtype=jnp.int32)
+    vx = (coords[:, 0:1, None, None] * B + li[None, :, None, None])
+    vy = (coords[:, 1:2, None, None] * B + li[None, None, :, None])
+    vz = (coords[:, 2:3, None, None] * B + li[None, None, None, :])
+    vx = jnp.broadcast_to(vx, (n_slots, B, B, B)).reshape(-1)
+    vy = jnp.broadcast_to(vy, (n_slots, B, B, B)).reshape(-1)
+    vz = jnp.broadcast_to(vz, (n_slots, B, B, B)).reshape(-1)
+
+    # 8 cube corners per candidate via the uniform (brick-aware) gather
+    dcs, wcs = [], []
+    for ox, oy, oz in np.asarray(CORNER_OFFSETS):
+        d, w = gather_dw(bv, vx + int(ox), vy + int(oy), vz + int(oz))
+        dcs.append(d)
+        wcs.append(w)
+    dcorn = jnp.stack(dcs, -1)          # [N, 8] normalized
+    wcorn = jnp.stack(wcs, -1)
+    vals = dcorn * cfg.max_dist_neg
+
+    corner_ok = (wcorn >= min_weight) & (jnp.abs(dcorn) < 1.0)
+    interior = ((vx >= 1) & (vx < cfg.xres - 2)
+                & (vy >= 1) & (vy < cfg.yres - 2)
+                & (vz >= 1) & (vz < cfg.zres - 2))
+    sign_change = jnp.any(dcorn < 0, -1) & jnp.any(dcorn >= 0, -1)
+    cube_ok = (jnp.all(corner_ok, -1) & corner_ok[:, 0] & interior & sign_change
+               & jnp.repeat(slot_live, V))
+
+    lin_center = jnp.zeros_like(vx)  # unused for bricks; colors read directly
+    center_rgb = None
+    if color_by_rgb and bv.color is not None:
+        cblk = jax.lax.dynamic_slice(
+            bv.color, (slot0, 0, 0, 0, 0),
+            (n_slots, B, B, B, bv.color.shape[-1])).reshape(n_slots * V, -1)
+        r, g, bl = color_ops.color_to_rgb(cfg.color_mode, cblk)
+        center_rgb = jnp.stack([r, g, bl], -1)
+    elif color_by_confidence:
+        wblk = jax.lax.dynamic_slice(
+            bv.weight, (slot0, 0, 0, 0), (n_slots, B, B, B)).reshape(-1)
+        std_dev = (100.0 - wblk) / 100.0
+        r = jnp.clip((1.0 - std_dev) * 255.0, 0.0, 255.0)
+        bb = jnp.clip(std_dev * 255.0, 0.0, 255.0)
+        center_rgb = jnp.stack([r, jnp.zeros_like(r), bb], -1)
+
+    return _emit_soup(cfg, bv.global_transform, vx, vy, vz, vals, cube_ok,
+                      center_rgb, jnp.asarray(False))
+
+
+def extract_mesh_bricks(bv, min_weight: float = DEFAULT_MIN_WEIGHT,
+                        color_by_rgb: bool = False,
+                        color_by_confidence: bool = False,
+                        chunk_slots: int = 2048):
+    """Host-level brick-native extraction: chunks over allocated bricks and
+    assembles the triangle soup on the host (no dense materialization, so it
+    scales to volumes whose dense form would not fit in HBM)."""
+    n_active = int(bv.n_active)
+    chunk_slots = min(chunk_slots, bv.capacity)
+    all_v, all_c = [], []
+    for s0 in range(0, max(n_active, 1), chunk_slots):
+        soup = _marching_cubes_brick_chunk(
+            bv, jnp.int32(s0), chunk_slots, min_weight,
+            color_by_rgb, color_by_confidence)
+        v, f, c = soup.to_numpy()
+        all_v.append(v)
+        if c is not None:
+            all_c.append(c)
+    verts = np.concatenate(all_v, 0) if all_v else np.zeros((0, 3), np.float32)
+    faces = np.arange(len(verts), dtype=np.int32).reshape(-1, 3)
+    cols = np.concatenate(all_c, 0) if all_c else None
+    return verts, faces, cols

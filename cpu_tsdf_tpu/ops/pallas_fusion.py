@@ -240,3 +240,171 @@ def pad_depth(depth):
     out = jnp.full((Hp, Wp), jnp.float32(NAN_SENTINEL))
     out = out.at[:H, :W].set(jnp.where(jnp.isnan(depth), NAN_SENTINEL, depth))
     return out
+
+
+# ---------------------------------------------------------------------------
+# v2: in-place kernel — brick blocks are fetched/written by slot id directly
+# (scalar-prefetch-driven index_map + input/output aliasing), eliminating the
+# XLA row gather/scatter around the batch entirely.
+# ---------------------------------------------------------------------------
+
+def _kernel_inplace(cfg: TSDFConfig, B: int, W: int, n_coarse: int,
+                    meta_ref, pose_ref, depth_ref,
+                    d0_ref, w0_ref, M0_ref, n0_ref,
+                    d1_ref, w1_ref, M1_ref, n1_ref):
+    """One grid step = one brick at block [1, 4, V/4]; slot-indexed blocks."""
+    import math as _math
+
+    V = B * B * B
+    S, L = 4, V // 4
+    k = pl.program_id(0)
+    f32 = jnp.float32
+    base_x = meta_ref[k, 0]
+    base_y = meta_ref[k, 1]
+    base_z = meta_ref[k, 2]
+    v0 = pl.multiple_of(meta_ref[k, 3] * 8, 8)
+    ok_brick = meta_ref[k, 4]
+
+    vid = (jax.lax.broadcasted_iota(jnp.int32, (S, L), 0) * L
+           + jax.lax.broadcasted_iota(jnp.int32, (S, L), 1))
+    lx = vid // (B * B)
+    ly = (vid // B) % B
+    lz = vid % B
+    gx = base_x + lx
+    gy = base_y + ly
+    gz = base_z + lz
+    cx = (gx.astype(f32) + 0.5) * (cfg.xsize / cfg.xres) - cfg.xsize / 2
+    cy = (gy.astype(f32) + 0.5) * (cfg.ysize / cfg.yres) - cfg.ysize / 2
+    cz = (gz.astype(f32) + 0.5) * (cfg.zsize / cfg.zres) - cfg.zsize / 2
+
+    p = lambda i: pose_ref[0, i]
+    vx = p(0) * cx + p(1) * cy + p(2) * cz + p(3)
+    vy = p(4) * cx + p(5) * cy + p(6) * cz + p(7)
+    vz = p(8) * cx + p(9) * cy + p(10) * cz + p(11)
+
+    zsafe = jnp.where(vz > 0, vz, 1.0)
+    uf = vx * cfg.focal_length_x / zsafe + cfg.principal_point_x
+    vf = vy * cfg.focal_length_y / zsafe + cfg.principal_point_y
+    u = jnp.trunc(uf).astype(jnp.int32)
+    v = jnp.trunc(vf).astype(jnp.int32)
+    in_range = (vz >= cfg.min_sensor_dist) & (vz <= cfg.max_sensor_dist)
+    proj_ok = (vz > 0) & (u >= 0) & (u < cfg.image_width) & (v >= 0) & (v < cfg.image_height)
+
+    # coarse-cell frustum culling, fully in-kernel (tsdf_volume_octree.cpp:619-652)
+    if cfg.frustum_culling:
+        tan_h = _math.tan(1.1 * _math.atan(0.5 * cfg.image_width / cfg.focal_length_x))
+        tan_v = _math.tan(1.1 * _math.atan(0.5 * cfg.image_height / cfg.focal_length_y))
+        ccx = (((gx * n_coarse) // cfg.xres).astype(f32) + 0.5) * (cfg.xsize / n_coarse) - cfg.xsize / 2
+        ccy = (((gy * n_coarse) // cfg.yres).astype(f32) + 0.5) * (cfg.ysize / n_coarse) - cfg.ysize / 2
+        ccz = (((gz * n_coarse) // cfg.zres).astype(f32) + 0.5) * (cfg.zsize / n_coarse) - cfg.zsize / 2
+        fx_ = p(0) * ccx + p(1) * ccy + p(2) * ccz + p(3)
+        fy_ = p(4) * ccx + p(5) * ccy + p(6) * ccz + p(7)
+        fz_ = p(8) * ccx + p(9) * ccy + p(10) * ccz + p(11)
+        frustum = ((fz_ >= cfg.min_sensor_dist) & (fz_ <= cfg.max_sensor_dist)
+                   & (jnp.abs(fx_) <= tan_h * fz_) & (jnp.abs(fy_) <= tan_v * fz_))
+    else:
+        frustum = jnp.full((S, L), True)
+
+    # depth lookup: per-sublane-chunk one-hot matmul + row-mask reduce
+    band = depth_ref[pl.ds(v0, BAND_ROWS), :]                 # [BAND, W]
+    z_chunks = []
+    for c in range(S):
+        u_c = u[c:c + 1, :]                                    # [1, L]
+        col_iota = jax.lax.broadcasted_iota(jnp.int32, (W, L), 0)
+        onehot = (col_iota == jnp.clip(u_c, 0, W - 1)).astype(f32)   # [W, L]
+        m1 = jnp.dot(band, onehot, preferred_element_type=f32)       # [BAND, L]
+        vrel = jnp.clip(v[c:c + 1, :] - v0, 0, BAND_ROWS - 1)
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (BAND_ROWS, L), 0)
+        row_mask = (row_iota == vrel).astype(f32)
+        z_chunks.append(jnp.sum(m1 * row_mask, axis=0, keepdims=True))
+    z_img = jnp.concatenate(z_chunks, axis=0)                  # [S, L]
+
+    valid = (in_range & proj_ok & (z_img < NAN_SENTINEL / 2)
+             & (ok_brick > 0) & frustum)
+    d_new = z_img - vz
+    valid &= d_new >= -cfg.max_dist_neg
+    d_new = jnp.minimum(d_new, cfg.max_dist_pos) / cfg.max_dist_neg
+
+    w_new = jnp.ones_like(d_new)
+    if cfg.weight_by_depth:
+        w_new = w_new * (1.0 - jnp.minimum(z_img / 10.0, 1.0))
+
+    d0 = d0_ref[0]
+    w0 = w0_ref[0]
+    M0 = M0_ref[0]
+    n0 = n0_ref[0]
+
+    if cfg.weight_by_variance:
+        var = (M0 / jnp.where(w0 > 0, w0, 1.0)) * (n0.astype(f32)
+                                                   / jnp.maximum(n0 - 1, 1).astype(f32))
+        var = jnp.where(n0 < 5, jnp.inf, var)
+        scale = jnp.exp(-((d_new - d0) ** 2) / (2.0 * var))
+        w_new = w_new * jnp.where(n0 > 5, scale, 1.0)
+
+    wsum = w0 + w_new
+    d_upd = (d0 * w0 + d_new * w_new) / jnp.where(wsum > 0, wsum, 1.0)
+    w_upd = jnp.minimum(wsum, cfg.max_weight)
+    M_upd = M0 + w_new * (d_new - d_upd) * (d_new - d0)
+    n_upd = n0 + 1
+
+    d1_ref[0] = jnp.where(valid, d_upd, d0)
+    w1_ref[0] = jnp.where(valid, w_upd, w0)
+    M1_ref[0] = jnp.where(valid, M_upd, M0)
+    n1_ref[0] = jnp.where(valid, n_upd, n0)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 8), donate_argnums=(4, 5, 6, 7))
+def fuse_bricks_inplace(cfg: TSDFConfig, B: int, meta, pose_inv_flat, sdf,
+                        weight, M, nsample, interpret: bool = False, depth=None):
+    """In-place brick fusion over the FULL volume arrays.
+
+    meta: [K, 8] int32 (base_x/y/z, v0/8, ok, slot, 0, 0) — slot indexes the
+    brick data row each grid step reads AND writes (the framework reserves
+    the last row as a write-off dump for inactive steps). Volume arrays are
+    [C, B^3]-shaped (reshaped internally to [C, 4, B^3/4] for Mosaic tiling)
+    and donated; outputs alias them, so untouched rows carry over for free.
+    """
+    K = meta.shape[0]
+    V = B * B * B
+    C = sdf.shape[0]
+    S, L = 4, V // 4
+    W = depth.shape[1]
+    n_coarse = 1 << cfg.num_coarse_levels
+    kern = partial(_kernel_inplace, cfg, B, W, n_coarse)
+
+    def run_chunk(meta_c, arrays):
+        sdf_, w_, M_, n_ = arrays
+        slot_spec = pl.BlockSpec((1, S, L), lambda k, m: (m[k, 5], 0, 0),
+                                 memory_space=pltpu.VMEM)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(meta_c.shape[0],),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                slot_spec, slot_spec, slot_spec, slot_spec,
+            ],
+            out_specs=[slot_spec, slot_spec, slot_spec, slot_spec],
+        )
+        out_shape = [
+            jax.ShapeDtypeStruct((C, S, L), sdf_.dtype),
+            jax.ShapeDtypeStruct((C, S, L), w_.dtype),
+            jax.ShapeDtypeStruct((C, S, L), M_.dtype),
+            jax.ShapeDtypeStruct((C, S, L), n_.dtype),
+        ]
+        return pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            # flat input indices INCLUDE the scalar-prefetch arg:
+            # meta=0 pose=1 depth=2 sdf=3 w=4 M=5 n=6
+            input_output_aliases={3: 0, 4: 1, 5: 2, 6: 3},
+            interpret=interpret,
+        )(meta_c, pose_inv_flat, depth, sdf_, w_, M_, n_)
+
+    arrays = (sdf.reshape(C, S, L), weight.reshape(C, S, L),
+              M.reshape(C, S, L), nsample.reshape(C, S, L))
+    for s in range(0, K, MAX_BRICKS_PER_CALL):
+        e = min(s + MAX_BRICKS_PER_CALL, K)
+        arrays = run_chunk(meta[s:e], arrays)
+    return tuple(a.reshape(C, V) for a in arrays)

@@ -140,3 +140,29 @@ def test_brick_count_reasonable(scene):
     n = int(bv.n_active)
     total = (cfg.xres // 8) ** 3
     assert 0 < n < total // 2, (n, total)
+
+
+def test_brick_marching_cubes_matches_dense(scene):
+    """Brick-native MC (no dense materialization) == dense MC vertex sets."""
+    from cpu_tsdf_tpu.ops.marching_cubes import extract_mesh
+
+    cfg, pose, depth = scene
+    dense = integrate(make_volume(cfg), jnp.asarray(depth), jnp.asarray(pose, jnp.float32))
+    bv = from_dense(dense, brick_size=8)
+    v1, f1, _ = extract_mesh(dense, min_weight=0.5)
+    v2, f2, _ = extract_mesh(bv, min_weight=0.5)
+    assert len(f1) == len(f2)
+    s1 = np.sort(np.round(v1, 5).reshape(-1))
+    s2 = np.sort(np.round(v2, 5).reshape(-1))
+    np.testing.assert_allclose(s1, s2, atol=1e-5)
+
+
+def test_brick_mc_confidence_colors(scene):
+    from cpu_tsdf_tpu.ops.marching_cubes import extract_mesh
+
+    cfg, pose, depth = scene
+    dense = integrate(make_volume(cfg), jnp.asarray(depth), jnp.asarray(pose, jnp.float32))
+    bv = from_dense(dense, brick_size=8)
+    v2, f2, c2 = extract_mesh(bv, min_weight=0.5, color_by_confidence=True)
+    assert c2 is not None and len(c2) == len(v2)
+    assert (c2[:, 2] > 200).all()  # w=1 -> mostly blue
