@@ -73,6 +73,11 @@ def _integrate_parser() -> argparse.ArgumentParser:
     p.add_argument("--tsdf-format", choices=("npz", "vol"), default="npz",
                    help="checkpoint format for --save-tsdf (npz=native, "
                         "vol=reference-compatible)")
+    p.add_argument("--sparse", action="store_true",
+                   help="use the block-sparse brick volume (TPU Pallas kernel "
+                        "fast path; scales past dense-grid memory)")
+    p.add_argument("--brick-size", type=int, default=8)
+    p.add_argument("--brick-capacity", type=int, default=1 << 15)
     p.add_argument("--metrics-json", default=None,
                    help="write per-frame timing/occupancy metrics to this file")
     return p
@@ -80,9 +85,11 @@ def _integrate_parser() -> argparse.ArgumentParser:
 
 def integrate_main(argv=None) -> int:
     args = _integrate_parser().parse_args(argv)
+    import jax
     import jax.numpy as jnp
 
     from . import integrate, make_volume
+    from .bricks import integrate_bricks, make_brick_volume, to_dense
     from .ops.marching_cubes import extract_mesh
 
     t_start = time.time()
@@ -116,7 +123,14 @@ def integrate_main(argv=None) -> int:
     )
     print(f"Setting resolution: {res} with grid size {args.volume_size}")
 
-    vol = None if args.cloud_only else make_volume(cfg)
+    if args.cloud_only:
+        vol = None
+    elif args.sparse:
+        vol = make_brick_volume(cfg, args.brick_size, args.brick_capacity)
+        dev = jax.config.jax_default_device or jax.devices()[0]
+        use_pallas = dev.platform not in ("cpu",)
+    else:
+        vol = make_volume(cfg)
     aggregate_pts, aggregate_rgb = [], []
     num_frames = len(pcd_files)
     if args.num_frames is not None and 0 <= args.num_frames <= num_frames:
@@ -163,6 +177,14 @@ def integrate_main(argv=None) -> int:
             aggregate_pts.append(pts)
             if rgb_img is not None:
                 aggregate_rgb.append(rgb_img.reshape(-1, 3)[ok])
+        elif args.sparse:
+            vol = integrate_bricks(
+                vol, jnp.asarray(depth), jnp.asarray(pose_rel, jnp.float32),
+                None if (rgb_img is None or not args.color) else jnp.asarray(rgb_img),
+                1 << 13, use_pallas, False)
+            if bool(vol.overflowed):
+                print("Warning: brick capacity/budget overflow — increase "
+                      "--brick-capacity", file=sys.stderr)
         else:
             vol = integrate(vol, jnp.asarray(depth), jnp.asarray(pose_rel, jnp.float32),
                             None if (rgb_img is None or not args.color) else jnp.asarray(rgb_img))
@@ -195,9 +217,10 @@ def integrate_main(argv=None) -> int:
     if args.save_tsdf:
         if args.tsdf_format == "vol":
             tsdf_path = os.path.join(args.out_dir, "volume.tsdf")
-            save_vol(tsdf_path, cfg, np.asarray(vol.sdf), np.asarray(vol.weight),
-                     np.asarray(vol.M), np.asarray(vol.nsample),
-                     rgb=None if vol.color is None else np.asarray(vol.color))
+            dv = to_dense(vol) if args.sparse else vol
+            save_vol(tsdf_path, cfg, np.asarray(dv.sdf), np.asarray(dv.weight),
+                     np.asarray(dv.M), np.asarray(dv.nsample),
+                     rgb=None if dv.color is None else np.asarray(dv.color))
         else:
             tsdf_path = os.path.join(args.out_dir, "volume.npz")
             save_checkpoint(tsdf_path, vol)

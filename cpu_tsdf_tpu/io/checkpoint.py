@@ -19,7 +19,10 @@ from ..volume import TSDFVolume
 FORMAT_VERSION = 1
 
 
-def save_checkpoint(path: str, vol: TSDFVolume) -> None:
+def save_checkpoint(path: str, vol) -> None:
+    """Save a dense TSDFVolume or a sparse BrickVolume (kind recorded)."""
+    from ..bricks import BrickVolume
+
     arrays = dict(
         sdf=np.asarray(vol.sdf),
         weight=np.asarray(vol.weight),
@@ -30,15 +33,41 @@ def save_checkpoint(path: str, vol: TSDFVolume) -> None:
     if vol.color is not None:
         arrays["color"] = np.asarray(vol.color)
     meta = dict(version=FORMAT_VERSION, config=json.loads(vol.config.to_json()))
+    if isinstance(vol, BrickVolume):
+        meta.update(kind="brick", brick_size=vol.brick_size, capacity=vol.capacity)
+        arrays.update(brick_map=np.asarray(vol.brick_map),
+                      coords=np.asarray(vol.coords),
+                      n_active=np.asarray(vol.n_active),
+                      overflowed=np.asarray(vol.overflowed))
+    else:
+        meta.update(kind="dense")
     np.savez_compressed(path, __meta__=np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8), **arrays)
 
 
-def load_checkpoint(path: str) -> TSDFVolume:
+def load_checkpoint(path: str):
     with np.load(path) as z:
         meta = json.loads(bytes(z["__meta__"]).decode())
         cfg = TSDFConfig(**meta["config"])
         color = jnp.asarray(z["color"]) if "color" in z.files else None
+        if meta.get("kind") == "brick":
+            from ..bricks import BrickVolume
+
+            return BrickVolume(
+                brick_map=jnp.asarray(z["brick_map"]),
+                n_active=jnp.asarray(z["n_active"]),
+                coords=jnp.asarray(z["coords"]),
+                sdf=jnp.asarray(z["sdf"]),
+                weight=jnp.asarray(z["weight"]),
+                M=jnp.asarray(z["M"]),
+                nsample=jnp.asarray(z["nsample"]),
+                color=color,
+                global_transform=jnp.asarray(z["global_transform"]),
+                overflowed=jnp.asarray(z["overflowed"]),
+                config=cfg,
+                brick_size=int(meta["brick_size"]),
+                capacity=int(meta["capacity"]),
+            )
         return TSDFVolume(
             sdf=jnp.asarray(z["sdf"]),
             weight=jnp.asarray(z["weight"]),

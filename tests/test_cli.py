@@ -139,3 +139,20 @@ def test_get_intrinsics_cli(tmp_path, capsys):
     out = capsys.readouterr().out
     fx_line = [l for l in out.splitlines() if l.startswith("fx:")][0]
     assert abs(float(fx_line.split()[1]) - FX) < 0.5
+
+
+def test_integrate_sparse(tmp_path):
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    _write_sequence(in_dir, n_frames=2)
+    rc = integrate_main(_common_args(in_dir, out_dir)
+                        + ["--sparse", "--brick-capacity", "4096", "--save-tsdf"])
+    assert rc == 0
+    verts, faces, _ = ply_io.load_ply(os.path.join(out_dir, "mesh.ply"))
+    assert len(faces) > 200
+    r = np.linalg.norm(verts - np.array([0, 0, 1.0]), axis=1)
+    assert np.abs(r - 0.35).mean() < 0.01
+    # sparse checkpoint round-trips through the factory loader
+    from cpu_tsdf_tpu.io.checkpoint import load_any
+    vol = load_any(os.path.join(out_dir, "volume.npz"))
+    assert int(vol.n_active) > 0
