@@ -262,11 +262,20 @@ def integrate_bricks(vol: BrickVolume, depth, pose, rgb=None,
     band = _band_brick_mask(vol, depth, pose)
     vol = _allocate(vol, band)
 
-    # frame-active brick list (static budget)
+    # frame-active brick list (static budget): cumsum-rank compaction — much
+    # cheaper than jnp.nonzero's sort on this TPU
     nbx, nby, nbz = vol.bricks_per_axis
-    (bids,) = jnp.nonzero(band.reshape(-1), size=update_budget, fill_value=-1)
+    flat_band = band.reshape(-1).astype(jnp.int32)
+    rank = jnp.cumsum(flat_band) - 1
+    n_band = jnp.sum(flat_band)
+    # invalid entries target an out-of-bounds index (dropped), so the stored
+    # ranks are genuinely unique
+    tgt = jnp.where((flat_band > 0) & (rank < update_budget), rank,
+                    update_budget + 1)
+    ids = jnp.arange(flat_band.shape[0], dtype=jnp.int32)
+    bids = jnp.full((update_budget + 1,), -1, jnp.int32).at[tgt].set(
+        ids, mode="drop", unique_indices=True)[:update_budget]
     active_ok = bids >= 0
-    n_band = jnp.sum(band)
     overflow = n_band > update_budget
     bsafe = jnp.maximum(bids, 0)
     slots = jnp.take(vol.brick_map.reshape(-1), bsafe, mode="clip")
