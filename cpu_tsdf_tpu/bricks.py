@@ -96,11 +96,14 @@ def make_brick_volume(cfg: TSDFConfig, brick_size: int = 8,
 # ---------------------------------------------------------------------------
 
 def gather_dw(vol, ix, iy, iz):
-    """(d, w) at clipped integer voxel indices, for either volume type."""
+    """(d, w) at clipped integer voxel indices, for any volume representation
+    (dense, brick, or packed-render)."""
     cfg = vol.config
     ix = jnp.clip(ix, 0, cfg.xres - 1)
     iy = jnp.clip(iy, 0, cfg.yres - 1)
     iz = jnp.clip(iz, 0, cfg.zres - 1)
+    if isinstance(vol, PackedRenderVolume):
+        return _gather_packed(vol, ix, iy, iz)
     if isinstance(vol, TSDFVolume):
         lin = (ix * cfg.yres + iy) * cfg.zres + iz
         return (jnp.take(vol.sdf.reshape(-1), lin, mode="clip"),
@@ -122,19 +125,19 @@ def gather_dw(vol, ix, iy, iz):
 
 
 def gather_color(vol, ix, iy, iz):
-    """Fused color channels at clipped voxel indices (either volume type)."""
+    """Fused color channels at clipped voxel indices (any volume type)."""
     cfg = vol.config
     ix = jnp.clip(ix, 0, cfg.xres - 1)
     iy = jnp.clip(iy, 0, cfg.yres - 1)
     iz = jnp.clip(iz, 0, cfg.zres - 1)
-    if isinstance(vol, TSDFVolume):
+    if isinstance(vol, (TSDFVolume, PackedRenderVolume)) and getattr(vol, "brick_map", None) is None:
         lin = (ix * cfg.yres + iy) * cfg.zres + iz
         return jnp.take(vol.color.reshape(-1, vol.color.shape[-1]), lin, axis=0, mode="clip")
     B = vol.brick_size
     bx, lx = ix // B, ix % B
     by, ly = iy // B, iy % B
     bz, lz = iz // B, iz % B
-    nbx, nby, nbz = vol.bricks_per_axis
+    nby, nbz = cfg.yres // B, cfg.zres // B
     blin = (bx * nby + by) * nbz + bz
     slot = jnp.take(vol.brick_map.reshape(-1), blin, mode="clip")
     inner = (lx * B + ly) * B + lz
@@ -479,3 +482,58 @@ def from_dense(vol: TSDFVolume, brick_size: int = 8,
         color=None if vol.color is None else scatter(bv.color, blockify(vol.color)),
         global_transform=vol.global_transform,
     )
+
+
+# ---------------------------------------------------------------------------
+# packed render source: one gather per voxel lookup instead of two
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PackedRenderVolume:
+    """Render-only volume view with SDF and weight-validity packed into one
+    f32 channel: NaN = unobserved (w == 0, d == -1), else the SDF value.
+
+    Halves the gather traffic of the ray march / trilinear sampling (the
+    renderer only ever uses `w` as a nonzero test). NOT usable for marching
+    cubes or fusion (real weights are gone) — render paths only.
+    """
+
+    rd: jnp.ndarray                      # dense [X,Y,Z] or brick [C,B,B,B]
+    brick_map: Optional[jnp.ndarray]     # None = dense layout
+    color: Optional[jnp.ndarray]
+    global_transform: jnp.ndarray
+    config: TSDFConfig = dataclasses.field(metadata=dict(static=True))
+    brick_size: int = dataclasses.field(metadata=dict(static=True), default=0)
+    capacity: int = dataclasses.field(metadata=dict(static=True), default=0)
+
+
+def pack_render(vol) -> PackedRenderVolume:
+    """Build the packed render view from a dense or brick volume."""
+    rd = jnp.where(vol.weight > 0, vol.sdf, jnp.nan)
+    if isinstance(vol, TSDFVolume):
+        return PackedRenderVolume(rd=rd, brick_map=None, color=vol.color,
+                                  global_transform=vol.global_transform,
+                                  config=vol.config)
+    return PackedRenderVolume(rd=rd, brick_map=vol.brick_map, color=vol.color,
+                              global_transform=vol.global_transform,
+                              config=vol.config, brick_size=vol.brick_size,
+                              capacity=vol.capacity)
+
+
+def _gather_packed(vol: PackedRenderVolume, ix, iy, iz):
+    cfg = vol.config
+    if vol.brick_map is None:
+        lin = (ix * cfg.yres + iy) * cfg.zres + iz
+        rd = jnp.take(vol.rd.reshape(-1), lin, mode="clip")
+    else:
+        B = vol.brick_size
+        nbx, nby, nbz = cfg.xres // B, cfg.yres // B, cfg.zres // B
+        blin = ((ix // B) * nby + (iy // B)) * nbz + (iz // B)
+        slot = jnp.take(vol.brick_map.reshape(-1), blin, mode="clip")
+        inner = ((ix % B) * B + (iy % B)) * B + (iz % B)
+        lin = jnp.clip(slot, 0, vol.capacity - 1) * (B * B * B) + inner
+        rd = jnp.take(vol.rd.reshape(-1), lin, mode="clip")
+        rd = jnp.where(slot < 0, jnp.nan, rd)
+    unobserved = jnp.isnan(rd)
+    return jnp.where(unobserved, -1.0, rd), jnp.where(unobserved, 0.0, 1.0)

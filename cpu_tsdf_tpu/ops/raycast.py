@@ -253,14 +253,25 @@ def render_rays(vol, origins, dirs, max_steps: int = 512,
 
 
 def render_view(vol, pose, downsample_by: int = 1,
-                max_steps: int = 512, colored: bool = False) -> RenderResult:
-    """Render the volume from a camera pose (camera-to-volume transform)."""
+                max_steps: int = 512, colored: bool = False,
+                packed: bool = True) -> RenderResult:
+    """Render the volume from a camera pose (camera-to-volume transform).
+
+    With packed=True (default) the volume is first repacked into the
+    single-channel render view (cpu_tsdf_tpu.bricks.PackedRenderVolume),
+    halving gather traffic during the march; results are identical. Pass a
+    pre-packed volume to amortize the packing across many renders.
+    """
     return _render_view_jit(vol, jnp.asarray(pose, jnp.float32), downsample_by,
-                            max_steps, colored)
+                            max_steps, colored, packed)
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4))
-def _render_view_jit(vol, pose, downsample_by, max_steps, colored):
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _render_view_jit(vol, pose, downsample_by, max_steps, colored, packed=False):
+    from ..bricks import PackedRenderVolume, pack_render
+
+    if packed and not isinstance(vol, PackedRenderVolume):
+        vol = pack_render(vol)
     cfg = vol.config
     W = cfg.image_width // downsample_by
     H = cfg.image_height // downsample_by
