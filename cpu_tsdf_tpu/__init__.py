@@ -14,5 +14,14 @@ from .volume import TSDFVolume, make_volume, reset  # noqa: F401
 from .ops.fusion import integrate  # noqa: F401
 from .ops.raycast import RenderResult, render_view  # noqa: F401
 from .ops import interpolate  # noqa: F401
+from .bricks import (  # noqa: F401
+    BrickVolume,
+    PackedRenderVolume,
+    from_dense,
+    integrate_bricks,
+    make_brick_volume,
+    pack_render,
+    to_dense,
+)
 
 __version__ = "0.1.0"

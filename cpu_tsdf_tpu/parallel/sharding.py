@@ -106,8 +106,13 @@ def render_view_sharded(vol: TSDFVolume, pose, mesh: Mesh, downsample_by: int = 
     Rays are padded to a multiple of the mesh size and sharded on the ray
     axis; the march is embarrassingly parallel per ray.
     """
+    from ..bricks import PackedRenderVolume, pack_render
     from ..ops.raycast import assemble_view, camera_rays, render_rays
 
+    if not isinstance(vol, PackedRenderVolume):
+        # pack before replicating: halves both the replicated bytes and the
+        # per-sample gather traffic
+        vol = pack_render(vol)
     cfg = vol.config
     W = cfg.image_width // downsample_by
     H = cfg.image_height // downsample_by
@@ -124,7 +129,8 @@ def render_view_sharded(vol: TSDFVolume, pose, mesh: Mesh, downsample_by: int = 
     ray_sharding = NamedSharding(mesh, P(AXIS, None))
     origins = jax.device_put(origins, ray_sharding)
     dirs = jax.device_put(dirs, ray_sharding)
-    vol_r = replicate_volume(vol, mesh)
+    rep = NamedSharding(mesh, P())
+    vol_r = jax.tree.map(lambda a: jax.device_put(a, rep), vol)
 
     @jax.jit
     def run(vol_in, o, d, pose_in):
