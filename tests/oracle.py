@@ -240,3 +240,106 @@ class OracleTSDF:
             w[ix, iy, iz] = n.w
             mask[ix, iy, iz] = True
         return d, w, mask
+
+
+def render_ray_reference(cfg, d_field, w_field, trans, u, v, use_trilinear=True):
+    """Literal numpy restatement of TSDFVolumeOctree::renderView for ONE pixel
+    over a dense (d, w) field (/root/reference/src/lib/tsdf_volume_octree.cpp:
+    278-424). Returns the camera-frame hit point or None.
+
+    Independent of the JAX implementation — used as the renderer's golden.
+    """
+    trans = np.asarray(trans, float)
+    R = trans[:3, :3]
+    t_vec = trans[:3, 3]
+    du = np.array([(u - cfg.principal_point_x) / cfg.focal_length_x,
+                   (v - cfg.principal_point_y) / cfg.focal_length_y, 1.0])
+    du = R @ (du / np.linalg.norm(du))
+    p0 = t_vec
+
+    res = (cfg.xres, cfg.yres, cfg.zres)
+    size = (cfg.xsize, cfg.ysize, cfg.zsize)
+
+    def voxel_of(pt):
+        if math.isnan(pt[2]) or abs(pt[0]) > size[0] / 2 or \
+                abs(pt[1]) > size[1] / 2 or abs(pt[2]) > size[2] / 2:
+            return None
+        idx = [int(math.floor((pt[k] + size[k] / 2) / size[k] * res[k])) for k in range(3)]
+        idx = [min(max(i, 0), r - 1) for i, r in zip(idx, res)]
+        return d_field[idx[0], idx[1], idx[2]], w_field[idx[0], idx[1], idx[2]]
+
+    def center(i, j, k):
+        return np.array([(i + 0.5) * size[0] / res[0] - size[0] / 2,
+                         (j + 0.5) * size[1] / res[1] - size[1] / 2,
+                         (k + 0.5) * size[2] / res[2] - size[2] / 2])
+
+    def trilinear(pt):
+        xi = int(math.floor((pt[0] + size[0] / 2) / size[0] * res[0]))
+        yi = int(math.floor((pt[1] + size[1] / 2) / size[1] * res[1]))
+        zi = int(math.floor((pt[2] + size[2] / 2) / size[2] * res[2]))
+        if xi <= 0 or xi >= res[0] - 1 or yi <= 0 or yi >= res[1] - 1 \
+                or zi <= 0 or zi >= res[2] - 1:
+            return float("nan"), False
+        c = center(xi, yi, zi)
+        if pt[0] < c[0]: xi -= 1
+        if pt[1] < c[1]: yi -= 1
+        if pt[2] < c[2]: zi -= 1
+        c = center(xi, yi, zi)
+        a = (pt[0] - c[0]) * res[0] / size[0]
+        b = (pt[1] - c[1]) * res[1] / size[1]
+        cc = (pt[2] - c[2]) * res[2] / size[2]
+        val = 0.0
+        ok = True
+        for dx in (0, 1):
+            for dy in (0, 1):
+                for dz in (0, 1):
+                    dv = d_field[xi + dx, yi + dy, zi + dz]
+                    wv = w_field[xi + dx, yi + dy, zi + dz]
+                    ok &= wv > 0
+                    wgt = (a if dx else 1 - a) * (b if dy else 1 - b) * (cc if dz else 1 - cc)
+                    val += wgt * dv
+        return val, ok
+
+    min_step = cfg.max_dist_neg * 3.0 / 4.0
+    t = cfg.min_sensor_dist
+    step = min_step
+    last_d = 0.0
+    last_w = 0.0
+    hit_voxel = False
+    found = False
+    while t < cfg.max_sensor_dist:
+        pt = p0 + t * du
+        vox = voxel_of(pt)
+        if vox is not None:
+            hit_voxel = True
+            d, w = vox
+            if ((d < 0 and last_d > 0) or (d > 0 and last_d < 0)) and last_w and w:
+                found = True
+                old_t = t - step
+                step = (size[2] / res[2]) / 2.0
+                while t >= old_t:
+                    t -= step
+                    vox2 = voxel_of(p0 + t * du)
+                    if vox2 is None:
+                        break
+                    nd, nw = vox2
+                    if (last_d > 0 and nd > 0) or (last_d < 0 and nd < 0):
+                        last_d, last_w = nd, nw
+                        t += step
+                        break
+                break
+            last_d, last_w = d, w
+            step = max(size[0] / res[0] / 4.0, abs(d) * cfg.max_dist_neg)
+        else:
+            if hit_voxel:
+                break
+        t += step
+    if not found:
+        return None
+    ld, ok1 = trilinear(p0 + (t - step) * du)
+    dd, ok2 = trilinear(p0 + t * du)
+    if not (ok1 and ok2) or math.isnan(dd) or math.isnan(ld):
+        return None
+    t_star = t + step * (-1.0 + abs(ld / (ld - dd)))
+    hit = p0 + t_star * du
+    return np.linalg.inv(trans)[:3, :3] @ hit + np.linalg.inv(trans)[:3, 3]

@@ -106,3 +106,34 @@ def test_depth_gradient_flows_to_sdf(fused):
     gn = np.asarray(g)
     assert np.isfinite(gn).all()
     assert (gn != 0).sum() > 50  # gradient touches the crossing neighborhood
+
+
+@pytest.mark.slow
+def test_render_matches_numpy_reference_march(fused):
+    """Golden: our vectorized march == a literal numpy restatement of the
+    reference's renderView over the same dense field (oracle.py)."""
+    from oracle import render_ray_reference
+
+    cfg, vol, pose, depth = fused
+    res = render_view(vol, pose)
+    d_field = np.asarray(vol.sdf, np.float64)
+    w_field = np.asarray(vol.weight, np.float64)
+    ours = np.asarray(res.points)
+    rng = np.random.RandomState(0)
+    checked = 0
+    agree = 0
+    for _ in range(60):
+        u = int(rng.randint(0, cfg.image_width))
+        v = int(rng.randint(0, cfg.image_height))
+        ref = render_ray_reference(cfg, d_field, w_field, pose, u, v)
+        mine = ours[v, u]
+        if ref is None and np.isnan(mine[2]):
+            continue
+        if ref is None or np.isnan(mine[2]):
+            checked += 1  # divergent validity (f32/f64 edge) — count, don't fail
+            continue
+        checked += 1
+        if np.linalg.norm(mine - ref) < 2e-3:
+            agree += 1
+    assert checked >= 10
+    assert agree >= checked * 0.9, (agree, checked)
