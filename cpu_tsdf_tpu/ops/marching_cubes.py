@@ -258,8 +258,9 @@ def _marching_cubes_brick_chunk(bv, slot0, n_slots: int, min_weight: float,
     B = bv.brick_size
     V = B * B * B
     coords = jax.lax.dynamic_slice(bv.coords, (slot0, 0), (n_slots, 3))
-    slot_ids = slot0 + jnp.arange(n_slots, dtype=jnp.int32)
-    slot_live = (slot_ids < bv.n_active) & (coords[:, 0] >= 0)
+    # liveness comes from coords alone: sharded allocation leaves live slots
+    # non-contiguous (per-device partitions), so n_active is not a bound
+    slot_live = coords[:, 0] >= 0
 
     li = jnp.arange(B, dtype=jnp.int32)
     vx = (coords[:, 0:1, None, None] * B + li[None, :, None, None])
@@ -314,10 +315,12 @@ def extract_mesh_bricks(bv, min_weight: float = DEFAULT_MIN_WEIGHT,
     """Host-level brick-native extraction: chunks over allocated bricks and
     assembles the triangle soup on the host (no dense materialization, so it
     scales to volumes whose dense form would not fit in HBM)."""
-    n_active = int(bv.n_active)
     chunk_slots = min(chunk_slots, bv.capacity)
+    live = np.asarray(bv.coords)[:, 0] >= 0
     all_v, all_c = [], []
-    for s0 in range(0, max(n_active, 1), chunk_slots):
+    starts = [s0 for s0 in range(0, bv.capacity, chunk_slots)
+              if live[s0:s0 + chunk_slots].any()] or [0]
+    for s0 in starts:
         soup = _marching_cubes_brick_chunk(
             bv, jnp.int32(s0), chunk_slots, min_weight,
             color_by_rgb, color_by_confidence)
