@@ -207,7 +207,6 @@ def _integrate_sharded_jit(bv: BrickVolume, depth, pose, update_budget: int,
         in_specs=(spec_v, spec_v, spec_v, spec_v, spec_v, spec_v, spec_v, P(),
                   P(), P(), P()),
         out_specs=(spec_v, spec_v, spec_v, spec_v, spec_v, spec_v, spec_v, P()),
-        check_rep=False,
     )(bv.brick_map, bv.n_active, bv.coords, bv.sdf, bv.weight, bv.M,
       bv.nsample, bv.overflowed, depth, pose, pose_inv)
     brick_map, n_active, coords, sdf, weight, M, nsample, ovf = out
