@@ -167,8 +167,9 @@ def _band_brick_mask(vol: BrickVolume, depth, pose):
     # Full-brick sample spacing is rigorous BECAUSE of the one-brick dilation
     # below: an in-band voxel center lies on its pixel's segment within
     # spacing/2 = B*cell/2 of some sample, which can cross at most one brick
-    # boundary per axis — covered by the dilation. Fewer passes = fewer of
-    # the (slow) TPU scatters.
+    # boundary per axis — covered by the dilation. (Coarser spacing would
+    # need a wider dilation, which inflates the active-brick set ~4x and
+    # costs far more in updates than it saves in scatters.)
     spacing = B * cell
     n_samples = int(np.ceil((band_hi - band_lo) / spacing)) + 1
 
