@@ -47,16 +47,6 @@ def make_tsdf_mesh(devices: Optional[Sequence] = None, platform: Optional[str] =
     return Mesh(np.asarray(devices), (AXIS,))
 
 
-def _volume_spec(vol: TSDFVolume, spec: P):
-    specs = TSDFVolume(
-        sdf=spec, weight=spec, M=spec, nsample=spec,
-        color=None if vol.color is None else P(*spec, None) if spec else spec,
-        global_transform=P(),
-        config=vol.config,
-    )
-    return specs
-
-
 def shard_volume(vol: TSDFVolume, mesh: Mesh) -> TSDFVolume:
     """Place the volume slab-sharded on axis 0 (X) across the mesh."""
     def put(a, spec):
