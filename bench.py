@@ -29,7 +29,7 @@ BASELINE_CACHE = os.path.join(REPO, "bench", "baseline_results.json")
 # the C++ toolchain is unavailable at bench time.
 FALLBACK_BASELINE_FPS = 72.5
 
-FRAMES = 20
+FRAMES = 50
 
 
 def log(*a):
