@@ -83,8 +83,29 @@ def _integrate_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _apply_device_env():
+    """Honor TSDF_DEVICE=cpu|tpu: some TPU plugins ignore JAX_PLATFORMS, so
+    give users a direct way to pin the default device."""
+    want = os.environ.get("TSDF_DEVICE")
+    if want:
+        import jax
+
+        jax.config.update("jax_default_device", jax.devices(want)[0])
+
+
 def integrate_main(argv=None) -> int:
+    try:
+        return _integrate_impl(argv)
+    except (FileNotFoundError, ValueError) as e:
+        # clean CLI errors instead of tracebacks (the reference prints
+        # PCL_ERROR and returns 1, integrate.cpp:389-439)
+        print(f"Error: {e}", file=sys.stderr)
+        return 1
+
+
+def _integrate_impl(argv=None) -> int:
     args = _integrate_parser().parse_args(argv)
+    _apply_device_env()
     import jax
     import jax.numpy as jnp
 
@@ -235,6 +256,7 @@ def integrate_main(argv=None) -> int:
 
 
 def tsdf2mesh_main(argv=None) -> int:
+    _apply_device_env()
     p = argparse.ArgumentParser(
         prog="tsdf2mesh",
         description="Render a mesh from a saved TSDF volume (.npz or "
