@@ -1,0 +1,312 @@
+"""Hierarchical gather-based brick activation.
+
+Replaces the round-1 scatter-based band mask (`_band_brick_mask`): instead of
+scattering millions of per-pixel band samples into a full brick-grid mask and
+running a full-grid cumsum every frame (the 2048^3 bottleneck — 16.7M-entry
+bookkeeping per frame), activation is brick-centric and hierarchical:
+
+  1. depth min/max mip pyramids (NaN-aware) — one cheap reduction per frame;
+  2. TILE pass: every tile (TB^3 bricks) projects its bounding sphere into the
+     image; a 2x2 texel lookup at the matching mip level bounds the depth
+     values under its footprint; the tile is band-active iff its camera-z
+     range overlaps [dmin - margin, dmax + margin].  Tests ALL tiles but the
+     tile grid is ~TB^3 x smaller than the brick grid;
+  3. BRICK pass: bricks of the (budgeted, compacted) active tiles are tested
+     arithmetically against their tile's depth bounds;
+  4. TIGHTEN pass: surviving candidate bricks (budgeted list) re-test with
+     their OWN footprint mip lookup, giving a near-minimal active set.
+
+Every stage is conservative (a superset of the bricks whose voxels receive
+in-band updates), which is the correctness contract of the brick path: the
+per-voxel update math rejects out-of-band observations exactly like the dense
+path, so extra bricks only store the same free-space observations the dense
+volume has.
+
+This is the TPU-native analog of the reference's pre-split pass + frustum
+culling (/root/reference/include/cpu_tsdf/impl/tsdf_volume_octree.hpp:57-99,
+/root/reference/src/lib/tsdf_volume_octree.cpp:619-652): the reference walks
+every pixel and splits octree nodes; here the brick table IS the subdivision
+and activation is a pure gather-free-ish test per brick, so the per-frame cost
+scales with the SURFACE (active tiles/bricks), not the volume.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import TSDFConfig
+
+
+def _pow2_ceil(n: int) -> int:
+    return 1 << int(np.ceil(np.log2(max(n, 1))))
+
+
+class DepthMips(NamedTuple):
+    """NaN-aware min/max depth pyramids, all levels packed flat."""
+
+    flat_min: jnp.ndarray   # [sum_l Hl*Wl]
+    flat_max: jnp.ndarray
+    offsets: jnp.ndarray    # int32 [L]
+    widths: jnp.ndarray     # int32 [L]  (level width Wp >> l)
+    n_levels: int
+    global_min: jnp.ndarray  # scalar
+    global_max: jnp.ndarray
+
+
+def mip_shapes(H: int, W: int) -> Sequence[Tuple[int, int]]:
+    Hp, Wp = _pow2_ceil(H), _pow2_ceil(W)
+    shapes = []
+    h, w = Hp, Wp
+    while True:
+        shapes.append((h, w))
+        if h == 1 and w == 1:
+            break
+        h, w = max(h // 2, 1), max(w // 2, 1)
+    return shapes
+
+
+def depth_mips(depth: jnp.ndarray) -> DepthMips:
+    """Build min/max mip pyramids over a depth image (NaN = no data)."""
+    H, W = depth.shape
+    shapes = mip_shapes(H, W)
+    Hp, Wp = shapes[0]
+    inf = jnp.float32(jnp.inf)
+    dmin = jnp.full((Hp, Wp), inf)
+    dmin = dmin.at[:H, :W].set(jnp.where(jnp.isnan(depth), inf, depth))
+    dmax = jnp.full((Hp, Wp), -inf)
+    dmax = dmax.at[:H, :W].set(jnp.where(jnp.isnan(depth), -inf, depth))
+
+    mins, maxs = [dmin], [dmax]
+    for (h, w) in shapes[1:]:
+        ph, pw = mins[-1].shape
+        rh, rw = ph // h, pw // w  # 2 (or 1 at a collapsed axis)
+        m = mins[-1].reshape(h, rh, w, rw)
+        mins.append(jnp.min(m, axis=(1, 3)))
+        x = maxs[-1].reshape(h, rh, w, rw)
+        maxs.append(jnp.max(x, axis=(1, 3)))
+    offsets = np.cumsum([0] + [h * w for (h, w) in shapes[:-1]])
+    return DepthMips(
+        flat_min=jnp.concatenate([m.reshape(-1) for m in mins]),
+        flat_max=jnp.concatenate([m.reshape(-1) for m in maxs]),
+        offsets=jnp.asarray(offsets, jnp.int32),
+        widths=jnp.asarray([w for (_, w) in shapes], jnp.int32),
+        n_levels=len(shapes),
+        global_min=mins[-1].reshape(())[()],
+        global_max=maxs[-1].reshape(())[()],
+    )
+
+
+def _footprint_depth_bounds(mips: DepthMips, u0, u1, v0, v1):
+    """Conservative (dmin, dmax) over pixel rect [u0,u1]x[v0,v1] (inclusive,
+    already clamped to the padded image) via a 2x2 texel mip lookup."""
+    span = jnp.maximum(jnp.maximum(u1 - u0, v1 - v0), 0) + 1
+    # smallest l with 2^l >= span  ->  rect covers <= 2 texels per axis
+    l = jnp.ceil(jnp.log2(span.astype(jnp.float32))).astype(jnp.int32)
+    l = jnp.clip(l, 0, mips.n_levels - 1)
+    off = jnp.take(mips.offsets, l)
+    wl = jnp.take(mips.widths, l)
+    tu0, tu1 = u0 >> l, u1 >> l
+    tv0, tv1 = v0 >> l, v1 >> l
+
+    def tex(flat, tv, tu):
+        return jnp.take(flat, off + tv * wl + tu, mode="clip")
+
+    dmin = jnp.minimum(
+        jnp.minimum(tex(mips.flat_min, tv0, tu0), tex(mips.flat_min, tv0, tu1)),
+        jnp.minimum(tex(mips.flat_min, tv1, tu0), tex(mips.flat_min, tv1, tu1)))
+    dmax = jnp.maximum(
+        jnp.maximum(tex(mips.flat_max, tv0, tu0), tex(mips.flat_max, tv0, tu1)),
+        jnp.maximum(tex(mips.flat_max, tv1, tu0), tex(mips.flat_max, tv1, tu1)))
+    return dmin, dmax
+
+
+def _band_margins(cfg: TSDFConfig):
+    """(m_lo, m_hi): a voxel at camera depth vz receives an in-band update
+    only if its depth pixel satisfies
+      z_img - m_hi <= vz <= z_img + m_lo
+    (hpp:189-198 drop/clamp rules, +-cell slack like the round-1 mask)."""
+    cell = min(cfg.cell_size)
+    return (cfg.max_dist_neg + cell,
+            max(cfg.max_dist_neg, cfg.max_dist_pos) + cell)
+
+
+def _sphere_footprint(cfg: TSDFConfig, mips: DepthMips, ccx, ccy, ccz, r):
+    """Depth bounds under a sphere's conservative image footprint.
+
+    Returns (usable, dmin, dmax): `usable` is False when the sphere straddles
+    the camera plane (footprint unbounded) — callers must fall back to the
+    whole-image bounds; dmin/dmax are +-inf when the footprint misses the
+    image entirely (no pixel can update the sphere's voxels)."""
+    fx, fy = cfg.focal_length_x, cfg.focal_length_y
+    pcx, pcy = cfg.principal_point_x, cfg.principal_point_y
+    W, H = cfg.image_width, cfg.image_height
+    z_lo, z_hi = ccz - r, ccz + r
+    usable = z_lo > 1e-3
+    zl = jnp.maximum(z_lo, 1e-3)
+    zh = jnp.maximum(z_hi, 2e-3)
+    x_lo, x_hi = ccx - r, ccx + r
+    y_lo, y_hi = ccy - r, ccy + r
+    # exact image-space bounds of the box [x_lo,x_hi]x[y_lo,y_hi]x[zl,zh]
+    u_min = fx * jnp.where(x_lo >= 0, x_lo / zh, x_lo / zl) + pcx
+    u_max = fx * jnp.where(x_hi >= 0, x_hi / zl, x_hi / zh) + pcx
+    v_min = fy * jnp.where(y_lo >= 0, y_lo / zh, y_lo / zl) + pcy
+    v_max = fy * jnp.where(y_hi >= 0, y_hi / zl, y_hi / zh) + pcy
+    # pixel coords truncate toward zero (geometry.reproject_point): pad 1 px
+    empty = (u_min > W) | (u_max < -1.0) | (v_min > H) | (v_max < -1.0)
+    u0 = jnp.clip(jnp.floor(u_min).astype(jnp.int32) - 1, 0, W - 1)
+    u1 = jnp.clip(jnp.ceil(u_max).astype(jnp.int32) + 1, 0, W - 1)
+    v0 = jnp.clip(jnp.floor(v_min).astype(jnp.int32) - 1, 0, H - 1)
+    v1 = jnp.clip(jnp.ceil(v_max).astype(jnp.int32) + 1, 0, H - 1)
+    dmin, dmax = _footprint_depth_bounds(mips, u0, u1, v0, v1)
+    inf = jnp.float32(jnp.inf)
+    return usable, jnp.where(empty, inf, dmin), jnp.where(empty, -inf, dmax)
+
+
+def _band_test(cfg: TSDFConfig, mips: DepthMips, ccx, ccy, ccz, r):
+    """Conservative band-intersection test for spheres (center camera-frame,
+    radius r): True iff the sphere MAY contain voxels receiving in-band
+    updates from this frame."""
+    W, H = cfg.image_width, cfg.image_height
+    fx, fy = cfg.focal_length_x, cfg.focal_length_y
+    m_lo, m_hi = _band_margins(cfg)
+    z_lo, z_hi = ccz - r, ccz + r
+    in_sensor = (z_hi >= cfg.min_sensor_dist) & (z_lo <= cfg.max_sensor_dist)
+
+    usable, dmin, dmax = _sphere_footprint(cfg, mips, ccx, ccy, ccz, r)
+    bounded_act = (z_lo <= dmax + m_lo) & (z_hi >= dmin - m_hi)
+
+    # Sphere straddles the camera plane: footprint unbounded. Conservative
+    # cone test around the optical axis + whole-image depth bounds. Such
+    # spheres sit within r of the camera — O(1) of them per frame.
+    tan_h = 0.5 * W / fx + 1.0
+    tan_v = 0.5 * H / fy + 1.0
+    zc = jnp.maximum(z_hi, 0.0)
+    cone = ((jnp.abs(ccx) - r <= tan_h * zc) & (jnp.abs(ccy) - r <= tan_v * zc))
+    glob = (z_lo <= mips.global_max + m_lo) & (z_hi >= mips.global_min - m_hi)
+    unbounded_act = cone & glob
+
+    return in_sensor & jnp.where(usable, bounded_act, unbounded_act)
+
+
+def _compact(mask_flat, ids, budget: int):
+    """Budgeted stream compaction: ids where mask, -1 padded. Returns
+    (list [budget] int32, count)."""
+    flat = mask_flat.astype(jnp.int32)
+    rank = jnp.cumsum(flat) - 1
+    n = jnp.sum(flat)
+    tgt = jnp.where((flat > 0) & (rank < budget), rank, budget + 1)
+    out = jnp.full((budget + 1,), -1, jnp.int32).at[tgt].set(
+        ids, mode="drop", unique_indices=True)[:budget]
+    return out, n
+
+
+def pick_tile_bricks(nb: Tuple[int, int, int]) -> int:
+    """Tile size (bricks/axis) keeping the tile grid <= ~32^3."""
+    tb = 4
+    while max(nb) // tb > 32:
+        tb *= 2
+    return tb
+
+
+def band_candidate_bricks(cfg: TSDFConfig, B: int, nb: Tuple[int, int, int],
+                          mips: DepthMips, pose_inv, update_budget: int,
+                          tile_budget: int = 1024):
+    """Budgeted list of bricks intersecting this frame's truncation band.
+
+    Returns (cand [update_budget] int32 brick linear ids (-1 pad), n_band,
+    overflow). `pose_inv` maps volume frame -> camera frame.
+    """
+    nbx, nby, nbz = nb
+    TB = pick_tile_bricks(nb)
+    ntx, nty, ntz = -(-nbx // TB), -(-nby // TB), -(-nbz // TB)
+    NT = ntx * nty * ntz
+    tile_budget = min(tile_budget, NT)
+    csx, csy, csz = cfg.cell_size
+    R = jnp.asarray(pose_inv)[:3, :3]
+    t = jnp.asarray(pose_inv)[:3, 3]
+
+    def cam_center_radius(x0, y0, z0, x1, y1, z1):
+        """World AABB -> camera-frame center + bounding radius."""
+        cx = (x0 + x1) * 0.5 - cfg.xsize / 2
+        cy = (y0 + y1) * 0.5 - cfg.ysize / 2
+        cz = (z0 + z1) * 0.5 - cfg.zsize / 2
+        r = 0.5 * jnp.sqrt((x1 - x0) ** 2 + (y1 - y0) ** 2 + (z1 - z0) ** 2)
+        ccx = R[0, 0] * cx + R[0, 1] * cy + R[0, 2] * cz + t[0]
+        ccy = R[1, 0] * cx + R[1, 1] * cy + R[1, 2] * cz + t[1]
+        ccz = R[2, 0] * cx + R[2, 1] * cy + R[2, 2] * cz + t[2]
+        return ccx, ccy, ccz, r
+
+    # ---- tile pass -------------------------------------------------------
+    ti = jnp.arange(NT, dtype=jnp.int32)
+    tx = ti // (nty * ntz)
+    ty = (ti // ntz) % nty
+    tz = ti % ntz
+    x0 = tx.astype(jnp.float32) * (TB * B * csx)
+    y0 = ty.astype(jnp.float32) * (TB * B * csy)
+    z0 = tz.astype(jnp.float32) * (TB * B * csz)
+    x1 = jnp.minimum(x0 + TB * B * csx, cfg.xsize)
+    y1 = jnp.minimum(y0 + TB * B * csy, cfg.ysize)
+    z1 = jnp.minimum(z0 + TB * B * csz, cfg.zsize)
+    ccx, ccy, ccz, r = cam_center_radius(x0, y0, z0, x1, y1, z1)
+    tile_act = _band_test(cfg, mips, ccx, ccy, ccz, r)
+    tiles, n_tiles = _compact(tile_act, ti, tile_budget)
+    overflow = n_tiles > tile_budget
+    tile_ok = tiles >= 0
+    tsafe = jnp.maximum(tiles, 0)
+
+    # depth bounds of each selected tile's footprint (for the arith refine)
+    ttx = tsafe // (nty * ntz)
+    tty = (tsafe // ntz) % nty
+    ttz = tsafe % ntz
+
+    # ---- brick pass (arithmetic, tile-level depth bounds) ----------------
+    TB3 = TB * TB * TB
+    li = jnp.arange(TB3, dtype=jnp.int32)
+    lx, ly, lz = li // (TB * TB), (li // TB) % TB, li % TB
+    bx = ttx[:, None] * TB + lx[None, :]
+    by = tty[:, None] * TB + ly[None, :]
+    bz = ttz[:, None] * TB + lz[None, :]
+    in_grid = (bx < nbx) & (by < nby) & (bz < nbz) & tile_ok[:, None]
+    bx0 = bx.astype(jnp.float32) * (B * csx)
+    by0 = by.astype(jnp.float32) * (B * csy)
+    bz0 = bz.astype(jnp.float32) * (B * csz)
+    bcx, bcy, bcz, br = cam_center_radius(bx0, by0, bz0,
+                                          bx0 + B * csx, by0 + B * csy, bz0 + B * csz)
+    m_lo, m_hi = _band_margins(cfg)
+    # tile-level footprint depth bounds, shared by the tile's bricks: the
+    # arithmetic refine — each brick's camera-z range against its tile's
+    # [dmin, dmax] — needs no further image lookups.
+    tccx, tccy, tccz, tr = cam_center_radius(
+        jnp.take(x0, tsafe), jnp.take(y0, tsafe), jnp.take(z0, tsafe),
+        jnp.take(x1, tsafe), jnp.take(y1, tsafe), jnp.take(z1, tsafe))
+    t_usable, t_dmin, t_dmax = _sphere_footprint(cfg, mips, tccx, tccy, tccz, tr)
+    zb_lo, zb_hi = bcz - br, bcz + br
+    z_refine = ((zb_lo <= t_dmax[:, None] + m_lo) & (zb_hi >= t_dmin[:, None] - m_hi)) \
+        | ~t_usable[:, None]
+    brick_rough = in_grid & z_refine \
+        & (zb_lo <= cfg.max_sensor_dist) & (zb_hi >= cfg.min_sensor_dist)
+
+    U2 = min(2 * update_budget, tile_budget * TB3)
+    blin = (bx * nby + by) * nbz + bz
+    rough, n_rough = _compact(brick_rough.reshape(-1), blin.reshape(-1), U2)
+    overflow |= n_rough > U2
+
+    # ---- tighten pass (per-brick footprint mip lookup) -------------------
+    rok = rough >= 0
+    rsafe = jnp.maximum(rough, 0)
+    rbx = rsafe // (nby * nbz)
+    rby = (rsafe // nbz) % nby
+    rbz = rsafe % nbz
+    rx0 = rbx.astype(jnp.float32) * (B * csx)
+    ry0 = rby.astype(jnp.float32) * (B * csy)
+    rz0 = rbz.astype(jnp.float32) * (B * csz)
+    rcx, rcy, rcz, rr = cam_center_radius(rx0, ry0, rz0,
+                                          rx0 + B * csx, ry0 + B * csy, rz0 + B * csz)
+    tight = rok & _band_test(cfg, mips, rcx, rcy, rcz, rr)
+    cand, n_band = _compact(tight, rsafe, update_budget)
+    overflow |= n_band > update_budget
+    return cand, n_band, overflow

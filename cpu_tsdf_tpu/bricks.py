@@ -37,7 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import TSDFConfig
-from .geometry import rigid_inverse, transform_points
+from .geometry import rigid_inverse
 from .volume import TSDFVolume, color_channels, make_volume
 
 
@@ -150,64 +150,6 @@ def gather_color(vol, ix, iy, iz):
 # integration
 # ---------------------------------------------------------------------------
 
-def _band_brick_mask(vol: BrickVolume, depth, pose):
-    """Bricks touched by any pixel's truncation-band ray segment.
-
-    The static-shape analog of the reference pre-split pass: for every valid
-    pixel, the 3D points p(t) = ray * t for t in [z - max_dist_neg - cell,
-    z + max_dist_pos + cell] (sampled at half-brick granularity plus the two
-    band endpoints) are scattered into a brick-level occupancy mask.
-    """
-    cfg = vol.config
-    B = vol.brick_size
-    nbx, nby, nbz = vol.bricks_per_axis
-    H, W = depth.shape
-    cell = min(cfg.cell_size)
-    band_lo, band_hi = -(cfg.max_dist_neg + cell), cfg.max_dist_pos + cell
-    # Full-brick sample spacing is rigorous BECAUSE of the one-brick dilation
-    # below: an in-band voxel center lies on its pixel's segment within
-    # spacing/2 = B*cell/2 of some sample, which can cross at most one brick
-    # boundary per axis — covered by the dilation. (Coarser spacing would
-    # need a wider dilation, which inflates the active-brick set ~4x and
-    # costs far more in updates than it saves in scatters.)
-    spacing = B * cell
-    n_samples = int(np.ceil((band_hi - band_lo) / spacing)) + 1
-
-    uu = jnp.arange(W, dtype=jnp.float32)[None, :]
-    vv = jnp.arange(H, dtype=jnp.float32)[:, None]
-    z = depth
-    rx = (uu - cfg.principal_point_x) / cfg.focal_length_x
-    ry = (vv - cfg.principal_point_y) / cfg.focal_length_y
-    valid = ~jnp.isnan(z)
-    mask = jnp.zeros((nbx * nby * nbz + 1,), jnp.int32)
-    pose = jnp.asarray(pose, jnp.float32)
-    for k in range(n_samples):
-        zk = z + band_lo + k * spacing
-        zk = jnp.minimum(zk, z + band_hi)
-        px, py, pz = rx * zk, ry * zk, zk
-        wx, wy, wz = transform_points(pose, px, py, pz)
-        ix = jnp.floor((wx + cfg.xsize / 2) / cfg.xsize * cfg.xres).astype(jnp.int32)
-        iy = jnp.floor((wy + cfg.ysize / 2) / cfg.ysize * cfg.yres).astype(jnp.int32)
-        iz = jnp.floor((wz + cfg.zsize / 2) / cfg.zsize * cfg.zres).astype(jnp.int32)
-        ok = valid & (ix >= 0) & (ix < cfg.xres) & (iy >= 0) & (iy < cfg.yres) \
-            & (iz >= 0) & (iz < cfg.zres)
-        blin = ((ix // B) * nby + (iy // B)) * nbz + (iz // B)
-        blin = jnp.where(ok, blin, nbx * nby * nbz)
-        mask = mask.at[blin.reshape(-1)].max(1)
-    m = mask[:-1].reshape(nbx, nby, nbz) > 0
-    # Dilate by one brick per axis (zero-fill shifts): guarantees coverage of
-    # band voxels whose brick the discrete segment sampling corner-clips
-    # (activation must be a SUPERSET of the bricks the dense update would
-    # touch in-band; extra bricks just store the same free-space observations
-    # the dense path has).
-    for ax in range(3):
-        mp = jnp.pad(m, [(1, 1) if a == ax else (0, 0) for a in range(3)])
-        sl_lo = tuple(slice(0, -2) if a == ax else slice(None) for a in range(3))
-        sl_hi = tuple(slice(2, None) if a == ax else slice(None) for a in range(3))
-        m = m | mp[sl_lo] | mp[sl_hi]
-    return m
-
-
 def _allocate(vol: BrickVolume, want_mask):
     """Allocate slots for newly-active bricks (prefix-sum assignment).
 
@@ -241,6 +183,33 @@ def _allocate(vol: BrickVolume, want_mask):
         overflowed=vol.overflowed | overflow)
 
 
+def _allocate_from_list(vol: BrickVolume, cand):
+    """Allocate slots for the new bricks of a candidate list (budget-sized
+    prefix-sum assignment; -1 entries are padding). Candidates are unique."""
+    usable = vol.capacity - 1
+    nbx, nby, nbz = vol.bricks_per_axis
+    nbtot = nbx * nby * nbz
+    ok_c = cand >= 0
+    safe = jnp.maximum(cand, 0)
+    cur = jnp.take(vol.brick_map.reshape(-1), safe, mode="clip")
+    is_new = ok_c & (cur < 0)
+    rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    n_new = jnp.sum(is_new.astype(jnp.int32))
+    slots = vol.n_active + rank
+    overflow = (vol.n_active + n_new) > usable
+    ok = is_new & (slots < usable)
+    bm = vol.brick_map.reshape(-1).at[jnp.where(ok, safe, nbtot)].set(
+        jnp.where(ok, slots, 0), mode="drop", unique_indices=True)
+    bc = jnp.stack([safe // (nby * nbz), (safe // nbz) % nby, safe % nbz], -1)
+    slots_safe = jnp.where(ok, slots, vol.capacity)
+    coords = vol.coords.at[slots_safe].set(
+        jnp.where(ok[:, None], bc, 0), mode="drop")
+    n_active = jnp.minimum(vol.n_active + n_new, usable).astype(jnp.int32)
+    return dataclasses.replace(
+        vol, brick_map=bm.reshape(vol.brick_map.shape), coords=coords,
+        n_active=n_active, overflowed=vol.overflowed | overflow)
+
+
 @partial(jax.jit, static_argnums=(4, 5, 6), donate_argnums=(0,))
 def integrate_bricks(vol: BrickVolume, depth, pose, rgb=None,
                      update_budget: int = 1 << 13, use_pallas: bool = False,
@@ -257,30 +226,22 @@ def integrate_bricks(vol: BrickVolume, depth, pose, rgb=None,
     from .ops import color as color_ops
     from .ops.fusion import compute_observation
 
+    from .activation import band_candidate_bricks, depth_mips
+
     cfg = vol.config
     B = vol.brick_size
     depth = jnp.asarray(depth)
     pose = jnp.asarray(pose, jnp.float32)
     pose_inv = rigid_inverse(pose)
 
-    band = _band_brick_mask(vol, depth, pose)
-    vol = _allocate(vol, band)
-
-    # frame-active brick list (static budget): cumsum-rank compaction — much
-    # cheaper than jnp.nonzero's sort on this TPU
+    # hierarchical band activation: budgeted candidate brick list directly
+    # (no full-grid mask/cumsum — the former 2048^3 bottleneck)
     nbx, nby, nbz = vol.bricks_per_axis
-    flat_band = band.reshape(-1).astype(jnp.int32)
-    rank = jnp.cumsum(flat_band) - 1
-    n_band = jnp.sum(flat_band)
-    # invalid entries target an out-of-bounds index (dropped), so the stored
-    # ranks are genuinely unique
-    tgt = jnp.where((flat_band > 0) & (rank < update_budget), rank,
-                    update_budget + 1)
-    ids = jnp.arange(flat_band.shape[0], dtype=jnp.int32)
-    bids = jnp.full((update_budget + 1,), -1, jnp.int32).at[tgt].set(
-        ids, mode="drop", unique_indices=True)[:update_budget]
+    mips = depth_mips(depth)
+    bids, n_band, overflow = band_candidate_bricks(
+        cfg, B, (nbx, nby, nbz), mips, pose_inv, update_budget)
+    vol = _allocate_from_list(vol, bids)
     active_ok = bids >= 0
-    overflow = n_band > update_budget
     bsafe = jnp.maximum(bids, 0)
     slots = jnp.take(vol.brick_map.reshape(-1), bsafe, mode="clip")
     slot_ok = active_ok & (slots >= 0)

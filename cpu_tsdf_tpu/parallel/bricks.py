@@ -31,7 +31,7 @@ from jax import shard_map
 
 from ..bricks import BrickVolume, make_brick_volume
 from ..config import TSDFConfig
-from ..geometry import rigid_inverse, transform_points
+from ..geometry import rigid_inverse
 from .sharding import AXIS
 
 
@@ -78,80 +78,50 @@ def _integrate_sharded_jit(bv: BrickVolume, depth, pose, update_budget: int,
 
     def body(brick_map_l, n_active_l, coords_l, sdf_l, w_l, M_l, n_l, ovf,
              depth_r, pose_r, pose_inv_r):
+        from ..activation import _compact, band_candidate_bricks, depth_mips
+
         dev = jax.lax.axis_index(AXIS)
         bx0 = dev * nbx_local
 
-        # ---- slab-local band activation (bricks.py:_band_brick_mask) ----
-        H, W = depth_r.shape
-        cell = min(cfg.cell_size)
-        band_lo = -(cfg.max_dist_neg + cell)
-        band_hi = cfg.max_dist_pos + cell
-        spacing = B * cell
-        n_samples = int(np.ceil((band_hi - band_lo) / spacing)) + 1
-        uu = jnp.arange(W, dtype=jnp.float32)[None, :]
-        vv = jnp.arange(H, dtype=jnp.float32)[:, None]
-        rx = (uu - cfg.principal_point_x) / cfg.focal_length_x
-        ry = (vv - cfg.principal_point_y) / cfg.focal_length_y
-        valid_px = ~jnp.isnan(depth_r)
-        mask = jnp.zeros((nbx_local * nby * nbz + 1,), jnp.int32)
-        for k in range(n_samples):
-            zk = jnp.minimum(depth_r + band_lo + k * spacing, depth_r + band_hi)
-            wx, wy, wz = transform_points(pose_r, rx * zk, ry * zk, zk)
-            ix = jnp.floor((wx + cfg.xsize / 2) / cfg.xsize * cfg.xres).astype(jnp.int32)
-            iy = jnp.floor((wy + cfg.ysize / 2) / cfg.ysize * cfg.yres).astype(jnp.int32)
-            iz = jnp.floor((wz + cfg.zsize / 2) / cfg.zsize * cfg.zres).astype(jnp.int32)
-            ok = valid_px & (ix >= 0) & (ix < cfg.xres) & (iy >= 0) \
-                & (iy < cfg.yres) & (iz >= 0) & (iz < cfg.zres)
-            # x-dilation happens HERE (during scattering) so that samples in a
-            # NEIGHBOR slab can activate this slab's boundary bricks; y/z
-            # dilation is slab-local and applied after the scatter.
-            bxl = ix // B - bx0
-            for dxo in (-1, 0, 1):
-                bxl2 = bxl + dxo
-                ok2 = ok & (bxl2 >= 0) & (bxl2 < nbx_local)
-                blin = (bxl2 * nby + (iy // B)) * nbz + (iz // B)
-                blin = jnp.where(ok2, blin, nbx_local * nby * nbz)
-                mask = mask.at[blin.reshape(-1)].max(1)
-        m = mask[:-1].reshape(nbx_local, nby, nbz) > 0
-        for ax in range(1, 3):
-            mp = jnp.pad(m, [(1, 1) if a == ax else (0, 0) for a in range(3)])
-            sl_lo = tuple(slice(0, -2) if a == ax else slice(None) for a in range(3))
-            sl_hi = tuple(slice(2, None) if a == ax else slice(None) for a in range(3))
-            m = m | mp[sl_lo] | mp[sl_hi]
+        # ---- band activation: replicated hierarchical candidate list ----
+        # Every device computes the IDENTICAL global candidate list (inputs
+        # are replicated), then filters to its own x-slab — this keeps the
+        # sharded brick set bit-equal to the single-device one with zero
+        # collectives.
+        mips = depth_mips(depth_r)
+        cand_g, _, overflow = band_candidate_bricks(
+            cfg, B, (nbx, nby, nbz), mips, pose_inv_r, update_budget * D)
+        gok = cand_g >= 0
+        gsafe = jnp.maximum(cand_g, 0)
+        bxc = gsafe // (nby * nbz)
+        local = gok & (bxc >= bx0) & (bxc < bx0 + nbx_local)
+        llin = (bxc - bx0) * (nby * nbz) + gsafe % (nby * nbz)
+        bids, n_band = _compact(local, llin, update_budget)
+        overflow |= n_band > update_budget
+        active_ok = bids >= 0
+        bsafe = jnp.maximum(bids, 0)
 
-        # ---- local allocation (bricks.py:_allocate, per-device dump row) ----
+        # ---- local allocation (bricks.py:_allocate_from_list, local slots) --
         usable = C_local - 1
         n_act = n_active_l[0]
-        new = m & (brick_map_l < 0)
-        flat = new.reshape(-1).astype(jnp.int32)
-        rank = jnp.cumsum(flat) - 1
-        n_new = jnp.sum(flat)
+        cur = jnp.take(brick_map_l.reshape(-1), bsafe, mode="clip")
+        is_new = active_ok & (cur < 0)
+        rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+        n_new = jnp.sum(is_new.astype(jnp.int32))
         slots = n_act + rank                     # local slot ids
-        overflow = (n_act + n_new) > usable
-        okb = (flat > 0) & (slots < usable)
+        overflow |= (n_act + n_new) > usable
+        okb = is_new & (slots < usable)
         gslot = dev * C_local + slots            # global slot ids in the map
-        brick_map_l = jnp.where(new.reshape(-1), jnp.where(okb, gslot, -1),
-                                brick_map_l.reshape(-1)).reshape(brick_map_l.shape)
-        bidx = jnp.arange(nbx_local * nby * nbz, dtype=jnp.int32)
-        bc = jnp.stack([bidx // (nby * nbz) + bx0, (bidx // nbz) % nby,
-                        bidx % nbz], -1)
+        nbtot_l = nbx_local * nby * nbz
+        brick_map_l = brick_map_l.reshape(-1).at[jnp.where(okb, bsafe, nbtot_l)].set(
+            jnp.where(okb, gslot, 0), mode="drop",
+            unique_indices=True).reshape(brick_map_l.shape)
+        bc = jnp.stack([bsafe // (nby * nbz) + bx0, (bsafe // nbz) % nby,
+                        bsafe % nbz], -1)
         slots_safe = jnp.where(okb, slots, C_local)
         coords_l = coords_l.at[slots_safe].set(jnp.where(okb[:, None], bc, 0),
                                                mode="drop")
         n_act = jnp.minimum(n_act + n_new, usable).astype(jnp.int32)
-
-        # ---- local active list + update (XLA path) ----
-        flat_band = m.reshape(-1).astype(jnp.int32)
-        rank2 = jnp.cumsum(flat_band) - 1
-        n_band = jnp.sum(flat_band)
-        tgt = jnp.where((flat_band > 0) & (rank2 < update_budget), rank2,
-                        update_budget + 1)
-        ids = jnp.arange(flat_band.shape[0], dtype=jnp.int32)
-        bids = jnp.full((update_budget + 1,), -1, jnp.int32).at[tgt].set(
-            ids, mode="drop", unique_indices=True)[:update_budget]
-        active_ok = bids >= 0
-        overflow |= n_band > update_budget
-        bsafe = jnp.maximum(bids, 0)
         gslots = jnp.take(brick_map_l.reshape(-1), bsafe, mode="clip")
         slot_ok = active_ok & (gslots >= 0)
         lslots = jnp.where(slot_ok, gslots - dev * C_local, C_local)
