@@ -210,10 +210,63 @@ def _allocate_from_list(vol: BrickVolume, cand):
         n_active=n_active, overflowed=vol.overflowed | overflow)
 
 
+def _jitter_split_bricks(cfg, nb, depth, pose, bids, update_budget, key):
+    """Extra brick activation from jittered surface samples.
+
+    Replicates the reference's ``num_random_splits`` pre-split jitter
+    (/root/reference/include/cpu_tsdf/impl/tsdf_volume_octree.hpp:69-88):
+    per valid pixel, samples 1..n-1 add noise of uniform[0, 0.03) m magnitude
+    to the surface point (camera frame) and force its containing voxel to
+    split — here, activate its containing brick. PRNG-keyed (the reference
+    uses un-seeded rand(); we default to a fixed key for determinism) with
+    uniform-sphere directions (the reference normalizes a random cube vector).
+
+    Takes the hierarchical candidate list, unions the jittered bricks through
+    a full-grid mask, and recompacts — the slow exotic-flag path.
+    """
+    from .activation import _compact
+    from .geometry import transform_points
+
+    B_ = cfg.xres // nb[0]
+    nbx, nby, nbz = nb
+    nbtot = nbx * nby * nbz
+    mask = jnp.zeros((nbtot + 1,), bool)
+    mask = mask.at[jnp.where(bids >= 0, bids, nbtot)].set(True)
+
+    H, W = depth.shape
+    uu = jnp.arange(W, dtype=jnp.float32)[None, :]
+    vv = jnp.arange(H, dtype=jnp.float32)[:, None]
+    rx = (uu - cfg.principal_point_x) / cfg.focal_length_x
+    ry = (vv - cfg.principal_point_y) / cfg.focal_length_y
+    valid = ~jnp.isnan(depth)
+    z = jnp.where(valid, depth, 1.0)
+    for perm in range(1, cfg.num_random_splits):
+        key, k1, k2 = jax.random.split(key, 3)
+        scale = jax.random.uniform(k1, (H, W)) * 0.03
+        nvec = jax.random.normal(k2, (H, W, 3))
+        nvec = nvec / jnp.maximum(jnp.linalg.norm(nvec, axis=-1, keepdims=True), 1e-9)
+        px = rx * z + nvec[..., 0] * scale
+        py = ry * z + nvec[..., 1] * scale
+        pz = z + nvec[..., 2] * scale
+        wx, wy, wz = transform_points(pose, px, py, pz)
+        ix = jnp.floor((wx + cfg.xsize / 2) / cfg.xsize * cfg.xres).astype(jnp.int32)
+        iy = jnp.floor((wy + cfg.ysize / 2) / cfg.ysize * cfg.yres).astype(jnp.int32)
+        iz = jnp.floor((wz + cfg.zsize / 2) / cfg.zsize * cfg.zres).astype(jnp.int32)
+        ok = valid & (ix >= 0) & (ix < cfg.xres) & (iy >= 0) & (iy < cfg.yres) \
+            & (iz >= 0) & (iz < cfg.zres)
+        blin = ((ix // B_) * nby + (iy // B_)) * nbz + (iz // B_)
+        mask = mask.at[jnp.where(ok, blin, nbtot).reshape(-1)].set(True)
+
+    bids, n_band = _compact(mask[:-1], jnp.arange(nbtot, dtype=jnp.int32),
+                            update_budget)
+    return bids, n_band, n_band > update_budget
+
+
 @partial(jax.jit, static_argnums=(4, 5, 6), donate_argnums=(0,))
 def integrate_bricks(vol: BrickVolume, depth, pose, rgb=None,
                      update_budget: int = 1 << 13, use_pallas: bool = False,
-                     pallas_interpret: bool = False) -> BrickVolume:
+                     pallas_interpret: bool = False,
+                     split_key=None) -> BrickVolume:
     """Fuse one depth frame into the brick volume.
 
     update_budget bounds the number of bricks updated per frame (band bricks
@@ -240,6 +293,11 @@ def integrate_bricks(vol: BrickVolume, depth, pose, rgb=None,
     mips = depth_mips(depth)
     bids, n_band, overflow = band_candidate_bricks(
         cfg, B, (nbx, nby, nbz), mips, pose_inv, update_budget)
+    if cfg.num_random_splits > 1:
+        key = split_key if split_key is not None else jax.random.PRNGKey(0)
+        bids, n_band, jovf = _jitter_split_bricks(
+            cfg, (nbx, nby, nbz), depth, pose, bids, update_budget, key)
+        overflow |= jovf
     vol = _allocate_from_list(vol, bids)
     active_ok = bids >= 0
     bsafe = jnp.maximum(bids, 0)

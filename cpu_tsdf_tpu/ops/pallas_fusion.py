@@ -11,15 +11,16 @@ turns the lookup into MXU work. Per brick:
   3. row-select on the VPU: sum over the 128 band rows masked by
      (row == v - v0), giving z_img [1, V];
   4. apply the exact reference fusion semantics (truncate -> normalize ->
-     weighted average -> cap; hpp:146-214, octree.cpp:153-163), vectorized
-     over the GROUP bricks of the grid step as [GROUP, V] tiles.
+     weighted average -> cap; hpp:146-214, octree.cpp:153-163).
 
 NaN depth pixels are encoded as a large sentinel before the kernel (0 * NaN
 would poison the one-hot matmul), and any z >= SENTINEL/2 invalidates the
 observation.
 
-Batch layout: brick-major [K, B^3] (B^3 = 512 lanes = 4 f32 vregs; GROUP = 8
-bricks per grid step fills the sublanes). Bricks whose image footprint
+Batch layout: one brick per grid step at block [1, 4, B^3/4]; brick data
+rows are fetched/written BY SLOT ID through a scalar-prefetch-driven
+index_map with input/output aliasing, so untouched rows carry over for free
+(no XLA row gather/scatter around the batch). Bricks whose image footprint
 exceeds the 128-row band (extremely close to the camera) are flagged and
 handled by the XLA fallback in cpu_tsdf_tpu.bricks; color configs always use
 the XLA path.
@@ -38,104 +39,28 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import TSDFConfig
 
 BAND_ROWS = 128    # depth rows visible to one brick's footprint
-GROUP = 8          # bricks per grid step (sublane dimension of the batch tile)
 NAN_SENTINEL = 1e9
 
 
-def _kernel(cfg: TSDFConfig, B: int, W: int,
-            meta_ref, pose_ref, depth_ref,
-            d0_ref, w0_ref, M0_ref, n0_ref, frus_ref,
-            d1_ref, w1_ref, M1_ref, n1_ref):
-    """One grid step = GROUP bricks, voxels on lanes: tiles are [GROUP, V]."""
-    V = B * B * B
-    k = pl.program_id(0)
-    f32 = jnp.float32
 
-    # per-voxel local offsets within a brick, [1, V]
-    l = jax.lax.broadcasted_iota(jnp.int32, (1, V), 1)
-    lx = (l // (B * B)).astype(f32)
-    ly = ((l // B) % B).astype(f32)
-    lz = (l % B).astype(f32)
 
-    p = lambda i: pose_ref[0, i]
+def pad_depth(depth):
+    """Pad to [>=BAND_ROWS rows, multiple-of-128 cols] and replace NaN with
+    the sentinel (out-of-image / missing pixels read back >= SENTINEL and are
+    rejected by the kernel's validity test)."""
+    H, W = depth.shape
+    Hp = max(BAND_ROWS, int(-(-H // 8) * 8))
+    Wp = int(-(-W // 128) * 128)
+    out = jnp.full((Hp, Wp), jnp.float32(NAN_SENTINEL))
+    out = out.at[:H, :W].set(jnp.where(jnp.isnan(depth), NAN_SENTINEL, depth))
+    return out
 
-    z_rows = []
-    meta_rows = []
-    for i in range(GROUP):
-        bi = k * GROUP + i
-        base_x = meta_ref[bi, 0]
-        base_y = meta_ref[bi, 1]
-        base_z = meta_ref[bi, 2]
-        # Mosaic requires dynamic sublane-slice starts it can prove aligned:
-        # meta carries v0/8, re-scaled with a multiple_of hint here.
-        v0 = pl.multiple_of(meta_ref[bi, 3] * 8, 8)
-        ok_brick = meta_ref[bi, 4]
 
-        cx = (jnp.asarray(base_x, f32) + lx + 0.5) * (cfg.xsize / cfg.xres) - cfg.xsize / 2
-        cy = (jnp.asarray(base_y, f32) + ly + 0.5) * (cfg.ysize / cfg.yres) - cfg.ysize / 2
-        cz = (jnp.asarray(base_z, f32) + lz + 0.5) * (cfg.zsize / cfg.zres) - cfg.zsize / 2
-        vx = p(0) * cx + p(1) * cy + p(2) * cz + p(3)
-        vy = p(4) * cx + p(5) * cy + p(6) * cz + p(7)
-        vz = p(8) * cx + p(9) * cy + p(10) * cz + p(11)
-
-        zsafe = jnp.where(vz > 0, vz, 1.0)
-        uf = vx * cfg.focal_length_x / zsafe + cfg.principal_point_x
-        vf = vy * cfg.focal_length_y / zsafe + cfg.principal_point_y
-        u = jnp.trunc(uf).astype(jnp.int32)
-        v = jnp.trunc(vf).astype(jnp.int32)
-
-        # depth band rows [v0, v0 + BAND_ROWS)
-        band = depth_ref[pl.ds(v0, BAND_ROWS), :]                    # [BAND, W]
-        col_iota = jax.lax.broadcasted_iota(jnp.int32, (W, V), 0)
-        onehot_c = (col_iota == jnp.clip(u, 0, W - 1)).astype(f32)   # [W, V]
-        m1 = jnp.dot(band, onehot_c, preferred_element_type=f32)     # [BAND, V]
-        vrel = jnp.clip(v - v0, 0, BAND_ROWS - 1)
-        row_iota = jax.lax.broadcasted_iota(jnp.int32, (BAND_ROWS, V), 0)
-        row_mask = (row_iota == vrel).astype(f32)
-        z_rows.append(jnp.sum(m1 * row_mask, axis=0, keepdims=True))  # [1, V]
-        meta_rows.append((vz, u, v, ok_brick))
-
-    z_img = jnp.concatenate(z_rows, axis=0)                           # [G, V]
-    vz = jnp.concatenate([m[0] for m in meta_rows], axis=0)
-    u = jnp.concatenate([m[1] for m in meta_rows], axis=0)
-    v = jnp.concatenate([m[2] for m in meta_rows], axis=0)
-    ok_brick = jnp.stack([jnp.full((V,), m[3], jnp.int32) for m in meta_rows], 0)
-
-    in_range = (vz >= cfg.min_sensor_dist) & (vz <= cfg.max_sensor_dist)
-    proj_ok = (vz > 0) & (u >= 0) & (u < cfg.image_width) & (v >= 0) & (v < cfg.image_height)
-    valid = in_range & proj_ok & (z_img < NAN_SENTINEL / 2) & (ok_brick > 0) \
-        & (frus_ref[:] > 0)
-    d_new = z_img - vz
-    valid &= d_new >= -cfg.max_dist_neg              # drop behind the band (hpp:193-196)
-    d_new = jnp.minimum(d_new, cfg.max_dist_pos) / cfg.max_dist_neg
-
-    w_new = jnp.ones_like(d_new)
-    if cfg.weight_by_depth:
-        w_new = w_new * (1.0 - jnp.minimum(z_img / 10.0, 1.0))
-
-    d0 = d0_ref[:]
-    w0 = w0_ref[:]
-    M0 = M0_ref[:]
-    n0 = n0_ref[:]
-
-    if cfg.weight_by_variance:
-        var = (M0 / jnp.where(w0 > 0, w0, 1.0)) * (n0.astype(f32)
-                                                   / jnp.maximum(n0 - 1, 1).astype(f32))
-        var = jnp.where(n0 < 5, jnp.inf, var)
-        scale = jnp.exp(-((d_new - d0) ** 2) / (2.0 * var))
-        w_new = w_new * jnp.where(n0 > 5, scale, 1.0)
-
-    wsum = w0 + w_new
-    d_upd = (d0 * w0 + d_new * w_new) / jnp.where(wsum > 0, wsum, 1.0)
-    w_upd = jnp.minimum(wsum, cfg.max_weight)
-    M_upd = M0 + w_new * (d_new - d_upd) * (d_new - d0)
-    n_upd = n0 + 1
-
-    d1_ref[:] = jnp.where(valid, d_upd, d0)
-    w1_ref[:] = jnp.where(valid, w_upd, w0)
-    M1_ref[:] = jnp.where(valid, M_upd, M0)
-    n1_ref[:] = jnp.where(valid, n_upd, n0)
-
+# ---------------------------------------------------------------------------
+# v2: in-place kernel — brick blocks are fetched/written by slot id directly
+# (scalar-prefetch-driven index_map + input/output aliasing), eliminating the
+# XLA row gather/scatter around the batch entirely.
+# ---------------------------------------------------------------------------
 
 def brick_meta(cfg: TSDFConfig, B: int, bx, by, bz, slot_ok, pose_inv):
     """Per-brick kernel metadata: voxel base coords, depth band row origin,
@@ -181,72 +106,6 @@ def brick_meta(cfg: TSDFConfig, B: int, bx, by, bz, slot_ok, pose_inv):
 # larger batches run as a sequence of chunked calls.
 MAX_BRICKS_PER_CALL = 1024
 
-
-@partial(jax.jit, static_argnums=(0, 1, 10))
-def fuse_bricks_pallas(cfg: TSDFConfig, B: int, meta, pose_inv_flat, depth,
-                       d0, w0, M0, n0, frustum, interpret: bool = False):
-    """Run the fusion kernel over a brick batch (chunked over SMEM capacity).
-
-    meta: [K, 8] int32 from brick_meta; pose_inv_flat: [1, 12] f32 (row-major
-    3x4); depth: [H', W'] padded via pad_depth (NaNs replaced by the
-    sentinel); batch arrays brick-major [K, B^3] with K a multiple of GROUP;
-    frustum: [K, B^3] f32 (1.0 = coarse cell in frustum).
-    Returns updated (d1, w1, M1, n1), each [K, B^3].
-    """
-    K, V = d0.shape
-    assert K % GROUP == 0, (K, GROUP)
-    if K > MAX_BRICKS_PER_CALL:
-        outs = []
-        for s in range(0, K, MAX_BRICKS_PER_CALL):
-            e = min(s + MAX_BRICKS_PER_CALL, K)
-            outs.append(fuse_bricks_pallas(
-                cfg, B, meta[s:e], pose_inv_flat, depth,
-                d0[s:e], w0[s:e], M0[s:e], n0[s:e], frustum[s:e], interpret))
-        return tuple(jnp.concatenate([o[i] for o in outs], 0) for i in range(4))
-    W = depth.shape[1]
-    kern = partial(_kernel, cfg, B, W)
-    batch_spec = pl.BlockSpec((GROUP, V), lambda k, m: (k, 0), memory_space=pltpu.VMEM)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(K // GROUP,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),                  # pose (1,12)
-            pl.BlockSpec(memory_space=pltpu.VMEM),                  # depth full
-            batch_spec, batch_spec, batch_spec, batch_spec, batch_spec,
-        ],
-        out_specs=[batch_spec, batch_spec, batch_spec, batch_spec],
-    )
-    out_shape = [
-        jax.ShapeDtypeStruct((K, V), d0.dtype),
-        jax.ShapeDtypeStruct((K, V), w0.dtype),
-        jax.ShapeDtypeStruct((K, V), M0.dtype),
-        jax.ShapeDtypeStruct((K, V), n0.dtype),
-    ]
-    return pl.pallas_call(
-        kern,
-        grid_spec=grid_spec,
-        out_shape=out_shape,
-        interpret=interpret,
-    )(meta, pose_inv_flat, depth, d0, w0, M0, n0, frustum)
-
-
-def pad_depth(depth):
-    """Pad to [>=BAND_ROWS rows, multiple-of-128 cols] and replace NaN with
-    the sentinel (out-of-image / missing pixels read back >= SENTINEL and are
-    rejected by the kernel's validity test)."""
-    H, W = depth.shape
-    Hp = max(BAND_ROWS, int(-(-H // 8) * 8))
-    Wp = int(-(-W // 128) * 128)
-    out = jnp.full((Hp, Wp), jnp.float32(NAN_SENTINEL))
-    out = out.at[:H, :W].set(jnp.where(jnp.isnan(depth), NAN_SENTINEL, depth))
-    return out
-
-
-# ---------------------------------------------------------------------------
-# v2: in-place kernel — brick blocks are fetched/written by slot id directly
-# (scalar-prefetch-driven index_map + input/output aliasing), eliminating the
-# XLA row gather/scatter around the batch entirely.
-# ---------------------------------------------------------------------------
 
 def _kernel_inplace(cfg: TSDFConfig, B: int, W: int, n_coarse: int,
                     meta_ref, pose_ref, depth_ref,

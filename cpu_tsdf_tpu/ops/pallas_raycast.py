@@ -1,0 +1,729 @@
+"""Pallas TPU ray-march kernel: tile-sorted brick raycasting.
+
+The TPU-native core of ``renderView``
+(/root/reference/src/lib/tsdf_volume_octree.cpp:278-424). The XLA lockstep
+march (ops/raycast.py) is bound by arbitrary-gather throughput (~0.1 G
+elem/s measured on this chip — BASELINE.md); this kernel eliminates
+arbitrary gathers entirely:
+
+  * every active brick gets a HALOED 16^3 SDF table (brick 8^3 + 4-voxel halo,
+    NaN = unobserved), streamed to VMEM per grid step via a scalar-prefetched
+    BlockSpec index map;
+  * the grid runs over (brick, 32x32-pixel tile) PAIRS, sorted by tile; each
+    step marches the tile's 1024 rays (one (8,128) register tile) through the
+    brick's [t_in, t_out] ray segment in lockstep;
+  * per-voxel lookups are lane-wise ``take_along_axis`` gathers into the
+    VMEM-resident table (the one vector-addressable gather TPUs have);
+  * per-ray results min-combine across pairs into per-tile output blocks
+    (revisited blocks stay VMEM-resident because pairs are tile-sorted).
+
+March semantics replicate the reference recurrence per pair (adaptive step
+max(cell/4, |d|*max_dist_neg), sign-change crossing with both weights
+nonzero, half-voxel backtrack, analytic trilinear refinement, central-
+difference normals — cpp:318-419). The only deliberate divergence: each
+pair's march grid is anchored at its own segment entry (t_in - cell/2)
+rather than carrying the global phase of the reference's free-space march,
+so bracket positions can differ by up to half a cell; the refined crossing
+agrees to O(h^2) on trilinear-smooth fields (validated against the XLA
+renderer in tests/test_pallas_raycast.py).
+
+Why this covers every crossing exactly once: a crossing has nonzero weights
+on both sides, so it lies in an allocated brick whose pair samples
+[t_in - cell/2, t_out + 2 cells] contiguously; zeros in the overlap are
+found by both neighbors and deduped by the min-combine (keyed on the
+pre-refinement bracket position, matching the reference's first-crossing
+rule).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import TSDFConfig
+
+HALO = 4                   # voxels of halo per side; table = (8 + 2*HALO)^3 = 16^3
+TDIM = 16
+TABLE = TDIM * TDIM * TDIM  # 4096
+TILE_PX = 32               # ray tile = 32x32 pixels = (8, 128) lanes
+MAX_TILES_PER_BRICK = 36   # bricks whose footprint spans more trigger overflow
+NCH = 8                    # out channels: key_t, t_star, valid, nvalid, nx, ny, nz, pad
+MAX_PAIRS_PER_CALL = 1024  # scalar-prefetch SMEM budget per pallas_call
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class RenderPack:
+    """Prebuilt kernel inputs for one brick volume state."""
+
+    tables: jnp.ndarray      # f32 [R, 1, TABLE] haloed NaN-packed SDF per slot
+    coords: jnp.ndarray      # int32 [R, 3] brick coords (-1 = unused row)
+    n_active: jnp.ndarray    # int32
+    global_transform: jnp.ndarray
+    color: Optional[jnp.ndarray]          # brick color array (for colored render)
+    brick_map: Optional[jnp.ndarray]      # for colored-render voxel lookups
+    config: TSDFConfig = dataclasses.field(metadata=dict(static=True))
+    brick_size: int = dataclasses.field(metadata=dict(static=True))
+    capacity: int = dataclasses.field(metadata=dict(static=True))
+
+
+@partial(jax.jit, static_argnums=(1,))
+def make_render_pack(vol, r_budget: int = 4096) -> RenderPack:
+    """Assemble haloed per-brick SDF tables from a BrickVolume.
+
+    Row r of `tables` holds slot r's 16^3 neighborhood (voxels
+    [-HALO, B+HALO) per axis relative to the brick origin, z-fastest), NaN
+    where unobserved/unallocated. Row r_budget-1 is reserved all-NaN (used by
+    padding pairs). Cost: 27 sliced row-gathers over the active slots.
+    """
+    cfg = vol.config
+    B = vol.brick_size
+    assert B == 8, "render kernel assumes 8^3 bricks"
+    nbx, nby, nbz = vol.bricks_per_axis
+    C = vol.capacity
+    R = r_budget
+
+    rd = jnp.where(vol.weight > 0, vol.sdf, jnp.nan).reshape(C, B, B, B)
+    rd_pad = jnp.concatenate([rd, jnp.full((1, B, B, B), jnp.nan)], 0)
+
+    coords = vol.coords[:R]
+    used = (coords[:, 0] >= 0) & (jnp.arange(R) < jnp.minimum(vol.n_active, R - 1))
+    tab = jnp.full((R, TDIM, TDIM, TDIM), jnp.nan)
+    bmap_flat = vol.brick_map.reshape(-1)
+
+    for ox in (-1, 0, 1):
+        # source/destination x-slices for this neighbor offset
+        sx = slice(B - HALO, B) if ox < 0 else (slice(0, B) if ox == 0 else slice(0, HALO))
+        dx = slice(0, HALO) if ox < 0 else (slice(HALO, HALO + B) if ox == 0 else slice(HALO + B, TDIM))
+        for oy in (-1, 0, 1):
+            sy = slice(B - HALO, B) if oy < 0 else (slice(0, B) if oy == 0 else slice(0, HALO))
+            dy = slice(0, HALO) if oy < 0 else (slice(HALO, HALO + B) if oy == 0 else slice(HALO + B, TDIM))
+            for oz in (-1, 0, 1):
+                sz = slice(B - HALO, B) if oz < 0 else (slice(0, B) if oz == 0 else slice(0, HALO))
+                dz = slice(0, HALO) if oz < 0 else (slice(HALO, HALO + B) if oz == 0 else slice(HALO + B, TDIM))
+                nc = coords + jnp.asarray([ox, oy, oz])
+                ok = used & (nc[:, 0] >= 0) & (nc[:, 0] < nbx) & (nc[:, 1] >= 0) \
+                    & (nc[:, 1] < nby) & (nc[:, 2] >= 0) & (nc[:, 2] < nbz)
+                blin = (nc[:, 0] * nby + nc[:, 1]) * nbz + nc[:, 2]
+                nslot = jnp.take(bmap_flat, jnp.clip(blin, 0, nbx * nby * nbz - 1),
+                                 mode="clip")
+                nslot = jnp.where(ok & (nslot >= 0), nslot, C)
+                blk = rd_pad[:, sx, sy, sz][nslot]      # sliced row gather [R, ...]
+                tab = tab.at[:, dx, dy, dz].set(blk)
+
+    return RenderPack(
+        tables=tab.reshape(R, 1, TABLE),
+        coords=jnp.where(used[:, None], coords, -1),
+        n_active=jnp.minimum(vol.n_active, R - 1),
+        global_transform=vol.global_transform,
+        color=vol.color,
+        brick_map=vol.brick_map,
+        config=cfg,
+        brick_size=B,
+        capacity=C,
+    )
+
+
+# ---------------------------------------------------------------------------
+# pair list
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnums=(2, 3))
+def build_pairs(pack: RenderPack, pose, downsample_by: int, pair_budget: int):
+    """(brick, image-tile) pairs sorted by tile. Returns (meta [P, 8] int32,
+    tile_has_pairs [T] bool, overflow bool).
+
+    meta rows: slot, tile_id, bx, by, bz, first_visit, valid, 0.
+    Padding pairs carry slot = R-1 (the reserved NaN table row) and
+    tile_id = T (the trash output block).
+    """
+    from ..geometry import rigid_inverse, transform_points
+
+    cfg = pack.config
+    B = pack.brick_size
+    ds = downsample_by
+    W, H = cfg.image_width // ds, cfg.image_height // ds
+    fx, fy = cfg.focal_length_x / ds, cfg.focal_length_y / ds
+    cx, cy = cfg.principal_point_x / ds, cfg.principal_point_y / ds
+    TX, TY = -(-W // TILE_PX), -(-H // TILE_PX)
+    T = TX * TY
+    R = pack.tables.shape[0]
+    P = pair_budget
+    csx, csy, csz = cfg.cell_size
+
+    pose_inv = rigid_inverse(jnp.asarray(pose, jnp.float32))
+    coords = pack.coords
+    used = coords[:, 0] >= 0
+
+    # project the 8 brick corners (+ the march overlap margin) to bound the
+    # pixel footprint
+    pad = 1  # voxels of slack: winning hits lie within ~1 cell of the brick
+    x0 = (coords[:, 0] * B - pad).astype(jnp.float32) * csx - cfg.xsize / 2
+    y0 = (coords[:, 1] * B - pad).astype(jnp.float32) * csy - cfg.ysize / 2
+    z0 = (coords[:, 2] * B - pad).astype(jnp.float32) * csz - cfg.zsize / 2
+    ex, ey, ez = (B + 2 * pad) * csx, (B + 2 * pad) * csy, (B + 2 * pad) * csz
+
+    u_min = jnp.full((R,), jnp.inf)
+    u_max = jnp.full((R,), -jnp.inf)
+    v_min = jnp.full((R,), jnp.inf)
+    v_max = jnp.full((R,), -jnp.inf)
+    z_min = jnp.full((R,), jnp.inf)
+    z_max = jnp.full((R,), -jnp.inf)
+    for dxc in (0.0, 1.0):
+        for dyc in (0.0, 1.0):
+            for dzc in (0.0, 1.0):
+                px, py, pz = transform_points(
+                    pose_inv, x0 + dxc * ex, y0 + dyc * ey, z0 + dzc * ez)
+                zs = jnp.maximum(pz, 1e-3)
+                u = px * fx / zs + cx
+                v = py * fy / zs + cy
+                u_min = jnp.minimum(u_min, u)
+                u_max = jnp.maximum(u_max, u)
+                v_min = jnp.minimum(v_min, v)
+                v_max = jnp.maximum(v_max, v)
+                z_min = jnp.minimum(z_min, pz)
+                z_max = jnp.maximum(z_max, pz)
+    # bricks straddling the camera plane: conservative full-image footprint
+    straddle = z_min <= 1e-3
+    u_min = jnp.where(straddle, 0.0, u_min)
+    u_max = jnp.where(straddle, jnp.float32(W), u_max)
+    v_min = jnp.where(straddle, 0.0, v_min)
+    v_max = jnp.where(straddle, jnp.float32(H), v_max)
+
+    vis = used & (z_max >= cfg.min_sensor_dist) & (z_min <= cfg.max_sensor_dist) \
+        & (u_max >= -1.0) & (u_min <= W) & (v_max >= -1.0) & (v_min <= H)
+    tx0 = jnp.clip(jnp.floor(u_min - 1).astype(jnp.int32) // TILE_PX, 0, TX - 1)
+    tx1 = jnp.clip(jnp.floor(u_max + 1).astype(jnp.int32) // TILE_PX, 0, TX - 1)
+    ty0 = jnp.clip(jnp.floor(v_min - 1).astype(jnp.int32) // TILE_PX, 0, TY - 1)
+    ty1 = jnp.clip(jnp.floor(v_max + 1).astype(jnp.int32) // TILE_PX, 0, TY - 1)
+    nx = tx1 - tx0 + 1
+    ny = ty1 - ty0 + 1
+    count = jnp.where(vis, nx * ny, 0)
+    overflow = jnp.any(count > MAX_TILES_PER_BRICK)
+    count = jnp.minimum(count, MAX_TILES_PER_BRICK)
+    offset = jnp.cumsum(count) - count
+    n_pairs = jnp.sum(count)
+    overflow |= n_pairs > P
+
+    pair_tile = jnp.full((P,), T, jnp.int32)
+    pair_slot = jnp.full((P,), R - 1, jnp.int32)
+    ridx = jnp.arange(R, dtype=jnp.int32)
+    for j in range(MAX_TILES_PER_BRICK):
+        ok = j < count
+        tid = (ty0 + j // jnp.maximum(nx, 1)) * TX + (tx0 + j % jnp.maximum(nx, 1))
+        tgt = jnp.where(ok & (offset + j < P), offset + j, P)
+        pair_tile = pair_tile.at[tgt].set(jnp.where(ok, tid, T), mode="drop",
+                                          unique_indices=True)
+        pair_slot = pair_slot.at[tgt].set(jnp.where(ok, ridx, R - 1), mode="drop",
+                                          unique_indices=True)
+
+    order = jnp.argsort(pair_tile, stable=True)
+    pair_tile = pair_tile[order]
+    pair_slot = pair_slot[order]
+    first = jnp.concatenate([jnp.ones((1,), bool),
+                             pair_tile[1:] != pair_tile[:-1]])
+    bc = pack.coords[pair_slot]
+    meta = jnp.stack([
+        pair_slot, pair_tile, jnp.maximum(bc[:, 0], 0), jnp.maximum(bc[:, 1], 0),
+        jnp.maximum(bc[:, 2], 0), first.astype(jnp.int32),
+        (pair_tile < T).astype(jnp.int32), jnp.zeros((P,), jnp.int32)], -1)
+    tile_hit = jnp.zeros((T + 1,), bool).at[pair_tile].set(True)[:T]
+    return meta, tile_hit, overflow
+
+
+# ---------------------------------------------------------------------------
+# the kernel
+# ---------------------------------------------------------------------------
+
+def _make_lookup(tab_ref):
+    """Build the chunked table-lookup closure.
+
+    Mosaic's ``tpu.dynamic_gather`` only lowers lane-wise at (8, 128) and only
+    runs at vector speed when the gathered data is a BROADCAST row (bisected:
+    bench/pallas_probe*.py — per-sublane-distinct data scalarizes to ~3.4 us
+    per op, broadcast rows run ~35 ns). So the 16^3 table is scanned as
+    TABLE/128 broadcast-row chunks with a hi-bits select.
+    """
+    nchunks = TABLE // 128
+    chunks = [jnp.broadcast_to(tab_ref[0, 0, c * 128:(c + 1) * 128].reshape(1, 128),
+                               (8, 128)) for c in range(nchunks)]
+
+    def lookup(ix, iy, iz):
+        """NaN-packed SDF at table voxel coords (clipped)."""
+        tx = jnp.clip(ix + HALO, 0, TDIM - 1)
+        ty = jnp.clip(iy + HALO, 0, TDIM - 1)
+        tz = jnp.clip(iz + HALO, 0, TDIM - 1)
+        flat = (tx << 8) | (ty << 4) | tz
+        hi = flat >> 7
+        lo = flat & 127
+        acc = jnp.zeros((8, 128), jnp.float32)
+        for c in range(nchunks):
+            part = jnp.take_along_axis(chunks[c], lo, axis=1)
+            acc = jnp.where(hi == c, part, acc)
+        return acc
+
+    return lookup
+
+
+def _kernel(cfg: TSDFConfig, ds: int, TX: int, max_march: int, max_bt: int,
+            meta_ref, pose_ref, tab_ref, out_in_ref, out_ref):
+    B = 8
+    W, H = cfg.image_width // ds, cfg.image_height // ds
+    fx, fy = cfg.focal_length_x / ds, cfg.focal_length_y / ds
+    pcx, pcy = cfg.principal_point_x / ds, cfg.principal_point_y / ds
+    csx, csy, csz = cfg.cell_size
+    cell_min = min(cfg.cell_size)
+    half_cell = csz / 2.0
+    mdn = cfg.max_dist_neg
+    f32 = jnp.float32
+
+    k = pl.program_id(0)
+    slot = meta_ref[k, 0]
+    tile = meta_ref[k, 1]
+    bx = meta_ref[k, 2]
+    by = meta_ref[k, 3]
+    bz = meta_ref[k, 4]
+    first = meta_ref[k, 5]
+    pair_valid = meta_ref[k, 6]
+
+    lookup = _make_lookup(tab_ref)
+    p = lambda i: pose_ref[0, i]
+
+    # ---- rays of this tile (pixel (u,v) -> unit dir in volume frame) ----
+    s_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    l_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    lpx = l_iota % TILE_PX
+    lpy = s_iota * 4 + l_iota // TILE_PX
+    u = (tile % TX) * TILE_PX + lpx
+    v = (tile // TX) * TILE_PX + lpy
+    ray_ok = (u < W) & (v < H) & (pair_valid > 0)
+    dx0 = (u.astype(f32) - pcx) / fx
+    dy0 = (v.astype(f32) - pcy) / fy
+    dz0 = jnp.ones((8, 128), f32)
+    inv_n = 1.0 / jnp.sqrt(dx0 * dx0 + dy0 * dy0 + dz0 * dz0)
+    dx0, dy0, dz0 = dx0 * inv_n, dy0 * inv_n, dz0 * inv_n
+    # rotate into the volume frame (pose = camera-to-volume, rotation rows)
+    dxv = p(0) * dx0 + p(1) * dy0 + p(2) * dz0
+    dyv = p(4) * dx0 + p(5) * dy0 + p(6) * dz0
+    dzv = p(8) * dx0 + p(9) * dy0 + p(10) * dz0
+    ox, oy, oz = p(3), p(7), p(11)
+
+    # brick origin (world, volume frame)
+    bwx = bx.astype(f32) * (B * csx) - cfg.xsize / 2
+    bwy = by.astype(f32) * (B * csy) - cfg.ysize / 2
+    bwz = bz.astype(f32) * (B * csz) - cfg.zsize / 2
+
+    # ---- slab test: ray segment inside the brick AABB ----
+    big = jnp.float32(1e9)
+    t_in = jnp.full((8, 128), -big)
+    t_out = jnp.full((8, 128), big)
+    for dref, o_, lo_, sz_ in ((dxv, ox, bwx, B * csx), (dyv, oy, bwy, B * csy),
+                               (dzv, oz, bwz, B * csz)):
+        inv = 1.0 / jnp.where(jnp.abs(dref) < 1e-9, 1e-9, dref)
+        ta = (lo_ - o_) * inv
+        tb = (lo_ + sz_ - o_) * inv
+        t_in = jnp.maximum(t_in, jnp.minimum(ta, tb))
+        t_out = jnp.minimum(t_out, jnp.maximum(ta, tb))
+    t0 = jnp.maximum(t_in - half_cell, cfg.min_sensor_dist)
+    t_end = jnp.minimum(t_out + 2.0 * cell_min, cfg.max_sensor_dist)
+    seg_ok = ray_ok & (t_in < t_out) & (t0 < t_end)
+
+    def sample(t):
+        """Nearest-voxel (d, w, inside_volume) at ray parameter t."""
+        x = ox + t * dxv
+        y = oy + t * dyv
+        z = oz + t * dzv
+        ix = jnp.floor((x - bwx) / csx).astype(jnp.int32)
+        iy = jnp.floor((y - bwy) / csy).astype(jnp.int32)
+        iz = jnp.floor((z - bwz) / csz).astype(jnp.int32)
+        raw = lookup(ix, iy, iz)
+        nanv = jnp.isnan(raw)
+        d = jnp.where(nanv, -1.0, raw)
+        w = jnp.where(nanv, 0.0, 1.0)
+        inside = (jnp.abs(x) <= cfg.xsize / 2) & (jnp.abs(y) <= cfg.ysize / 2) \
+            & (jnp.abs(z) <= cfg.zsize / 2)
+        return d, w, inside
+
+    # ---- phase 1: adaptive march (cpp:318-371 semantics, pair-local grid) --
+    one = jnp.ones((8, 128), f32)
+    zero = jnp.zeros((8, 128), f32)
+    st = dict(
+        t=t0,
+        step=jnp.full((8, 128), mdn * 0.75),
+        d=zero, w=zero, last_d=zero, last_w=zero,
+        found=zero,
+        done=jnp.where(seg_ok, zero, one),
+    )
+
+    def march_body(_, s):
+        t = s["t"]
+        d_new, w_new, inside = sample(t)
+        active = s["done"] == 0
+        crossing = (inside & ((d_new < 0) & (s["last_d"] > 0)
+                              | (d_new > 0) & (s["last_d"] < 0))
+                    & (s["last_w"] != 0) & (w_new != 0) & active)
+        new_step = jnp.maximum(cell_min / 4.0, jnp.abs(d_new) * mdn)
+        upd = active & inside & ~crossing
+        s2 = dict(s)
+        s2["last_d"] = jnp.where(upd, d_new, s["last_d"])
+        s2["last_w"] = jnp.where(upd, w_new, s["last_w"])
+        s2["d"] = jnp.where(crossing, d_new, s["d"])
+        s2["w"] = jnp.where(crossing, w_new, s["w"])
+        s2["step"] = jnp.where(upd, new_step, s["step"])
+        s2["found"] = jnp.where(crossing, one, s["found"])
+        advance = active & ~crossing
+        t_next = t + jnp.where(advance, s2["step"], 0.0)
+        s2["t"] = t_next
+        done_now = crossing | (t_next > t_end) | (active & ~inside & (t > t_in))
+        s2["done"] = jnp.where(done_now, one, s["done"])
+        return s2
+
+    st["i"] = jnp.int32(0)
+
+    def march_cond(s):
+        return (s["i"] < max_march) & (jnp.min(s["done"]) < 0.5)
+
+    def march_step(s):
+        s2 = march_body(0, s)
+        s2["i"] = s["i"] + 1
+        return s2
+
+    s = jax.lax.while_loop(march_cond, march_step, st)
+    found = s["found"] > 0
+
+    # ---- phase 2: half-voxel backtrack (cpp:329-354) ----
+    old_t = s["t"] - s["step"]
+    bt = dict(t=s["t"], last_d=s["last_d"], last_w=s["last_w"],
+              done=jnp.where(found, zero, one))
+
+    def bt_body(_, b):
+        active = b["done"] == 0
+        exit_loop = active & (b["t"] < old_t)
+        stepping = active & ~exit_loop
+        t_new = b["t"] - half_cell
+        d_new, w_new, inside = sample(t_new)
+        same_sign = ((b["last_d"] > 0) & (d_new > 0)) | ((b["last_d"] < 0) & (d_new < 0))
+        hit = stepping & inside & same_sign
+        brk_out = stepping & ~inside
+        cont = stepping & inside & ~same_sign
+        b2 = dict(b)
+        b2["last_d"] = jnp.where(hit, d_new, b["last_d"])
+        b2["last_w"] = jnp.where(hit, w_new, b["last_w"])
+        b2["t"] = jnp.where(cont | brk_out, t_new, b["t"])
+        b2["done"] = jnp.where(exit_loop | hit | brk_out, one, b["done"])
+        return b2
+
+    bt["i"] = jnp.int32(0)
+
+    def bt_cond(b):
+        return (b["i"] < max_bt) & (jnp.min(b["done"]) < 0.5)
+
+    def bt_step(b):
+        b2 = bt_body(0, b)
+        b2["i"] = b["i"] + 1
+        return b2
+
+    b = jax.lax.while_loop(bt_cond, bt_step, bt)
+    t_bt = b["t"]
+    step_r = half_cell
+
+    # ---- phase 3: trilinear refinement + normals (cpp:378-419) ----
+    def trilinear(t_or_xyz, is_t=True):
+        if is_t:
+            x = ox + t_or_xyz * dxv
+            y = oy + t_or_xyz * dyv
+            z = oz + t_or_xyz * dzv
+        else:
+            x, y, z = t_or_xyz
+        # corner base: floor index, step back below voxel center, interior
+        # validity on the UN-adjusted index (interpolate.py:_corner_base)
+        gx = jnp.floor((x + cfg.xsize / 2) / csx).astype(jnp.int32)
+        gy = jnp.floor((y + cfg.ysize / 2) / csy).astype(jnp.int32)
+        gz = jnp.floor((z + cfg.zsize / 2) / csz).astype(jnp.int32)
+        ok = (gx > 0) & (gx < cfg.xres - 1) & (gy > 0) & (gy < cfg.yres - 1) \
+            & (gz > 0) & (gz < cfg.zres - 1) \
+            & (jnp.abs(x) <= cfg.xsize / 2) & (jnp.abs(y) <= cfg.ysize / 2) \
+            & (jnp.abs(z) <= cfg.zsize / 2) & ~jnp.isnan(z)
+        ccx = (gx.astype(f32) + 0.5) * csx - cfg.xsize / 2
+        ccy = (gy.astype(f32) + 0.5) * csy - cfg.ysize / 2
+        ccz = (gz.astype(f32) + 0.5) * csz - cfg.zsize / 2
+        gx = jnp.where(x < ccx, gx - 1, gx)
+        gy = jnp.where(y < ccy, gy - 1, gy)
+        gz = jnp.where(z < ccz, gz - 1, gz)
+        gx = jnp.clip(gx, 0, cfg.xres - 2)
+        gy = jnp.clip(gy, 0, cfg.yres - 2)
+        gz = jnp.clip(gz, 0, cfg.zres - 2)
+        vx = (gx.astype(f32) + 0.5) * csx - cfg.xsize / 2
+        vy = (gy.astype(f32) + 0.5) * csy - cfg.ysize / 2
+        vz = (gz.astype(f32) + 0.5) * csz - cfg.zsize / 2
+        a = (x - vx) / csx
+        bb = (y - vy) / csy
+        c = (z - vz) / csz
+        lx = gx - bx * B
+        ly = gy - by * B
+        lz = gz - bz * B
+        val = jnp.zeros((8, 128), f32)
+        vld = ok
+        for ddx in (0, 1):
+            for ddy in (0, 1):
+                for ddz in (0, 1):
+                    raw = lookup(lx + ddx, ly + ddy, lz + ddz)
+                    nanv = jnp.isnan(raw)
+                    dc = jnp.where(nanv, -1.0, raw)
+                    vld &= ~nanv
+                    wx = a if ddx else 1 - a
+                    wy = bb if ddy else 1 - bb
+                    wz = c if ddz else 1 - c
+                    val = val + dc * wx * wy * wz
+        return val, vld
+
+    tprev = t_bt - step_r
+    last_d_tri, valid_prev = trilinear(tprev)
+    d_tri, valid_curr = trilinear(t_bt)
+    valid = found & valid_prev & valid_curr & ~jnp.isnan(d_tri) & ~jnp.isnan(last_d_tri)
+    denom = last_d_tri - d_tri
+    denom = jnp.where(denom == 0, 1e-20, denom)
+    t_star = t_bt + step_r * (-1.0 + jnp.abs(last_d_tri / denom))
+    hx = ox + t_star * dxv
+    hy = oy + t_star * dyv
+    hz = oz + t_star * dzv
+
+    nvalid = valid & (jnp.abs(hx) <= cfg.xsize / 2) & (jnp.abs(hy) <= cfg.ysize / 2) \
+        & (jnp.abs(hz) <= cfg.zsize / 2)
+
+    # ---- normals via one shared corner block ----
+    # The 6 normal samples sit at hit +- exactly one cell, so their corner
+    # bases are the hit's base shifted by one unit (identical fractional
+    # coords). One 32-corner fetch (the "plus" neighborhood) serves all six
+    # trilinear evaluations; only float-epsilon boundary wobble can differ
+    # from evaluating each floor independently like the XLA path does.
+    fx0 = jnp.floor((hx + cfg.xsize / 2) / csx).astype(jnp.int32)
+    fy0 = jnp.floor((hy + cfg.ysize / 2) / csy).astype(jnp.int32)
+    fz0 = jnp.floor((hz + cfg.zsize / 2) / csz).astype(jnp.int32)
+    ccx0 = (fx0.astype(f32) + 0.5) * csx - cfg.xsize / 2
+    ccy0 = (fy0.astype(f32) + 0.5) * csy - cfg.ysize / 2
+    ccz0 = (fz0.astype(f32) + 0.5) * csz - cfg.zsize / 2
+    gx0 = jnp.clip(jnp.where(hx < ccx0, fx0 - 1, fx0), 0, cfg.xres - 2)
+    gy0 = jnp.clip(jnp.where(hy < ccy0, fy0 - 1, fy0), 0, cfg.yres - 2)
+    gz0 = jnp.clip(jnp.where(hz < ccz0, fz0 - 1, fz0), 0, cfg.zres - 2)
+    a0 = (hx - ((gx0.astype(f32) + 0.5) * csx - cfg.xsize / 2)) / csx
+    b0 = (hy - ((gy0.astype(f32) + 0.5) * csy - cfg.ysize / 2)) / csy
+    c0 = (hz - ((gz0.astype(f32) + 0.5) * csz - cfg.zsize / 2)) / csz
+    lx0 = gx0 - bx * B
+    ly0 = gy0 - by * B
+    lz0 = gz0 - bz * B
+    plus_offsets = (
+        [(i, j, k) for i in (-1, 0, 1, 2) for j in (0, 1) for k in (0, 1)]
+        + [(i, j, k) for j in (-1, 2) for i in (0, 1) for k in (0, 1)]
+        + [(i, j, k) for k in (-1, 2) for i in (0, 1) for j in (0, 1)])
+    blk = {}
+    blk_nan = {}
+    for (i, j, k) in plus_offsets:
+        raw = lookup(lx0 + i, ly0 + j, lz0 + k)
+        blk_nan[(i, j, k)] = jnp.isnan(raw)
+        blk[(i, j, k)] = jnp.where(blk_nan[(i, j, k)], -1.0, raw)
+
+    def shifted_eval(sx_, sy_, sz_):
+        val = jnp.zeros((8, 128), f32)
+        bad = jnp.zeros((8, 128), bool)
+        for ddx in (0, 1):
+            for ddy in (0, 1):
+                for ddz in (0, 1):
+                    o = (sx_ + ddx, sy_ + ddy, sz_ + ddz)
+                    bad |= blk_nan[o]
+                    wx = a0 if ddx else 1 - a0
+                    wy = b0 if ddy else 1 - b0
+                    wz = c0 if ddz else 1 - c0
+                    val = val + blk[o] * wx * wy * wz
+        # interior-bounds on the UN-adjusted floor of the shifted point
+        # (interpolate.py:_corner_base validity quirk) + in-volume
+        qfx = fx0 + sx_
+        qfy = fy0 + sy_
+        qfz = fz0 + sz_
+        qx = hx + sx_ * csx
+        qy = hy + sy_ * csy
+        qz = hz + sz_ * csz
+        ok = (qfx > 0) & (qfx < cfg.xres - 1) & (qfy > 0) & (qfy < cfg.yres - 1) \
+            & (qfz > 0) & (qfz < cfg.zres - 1) \
+            & (jnp.abs(qx) <= cfg.xsize / 2) & (jnp.abs(qy) <= cfg.ysize / 2) \
+            & (jnp.abs(qz) <= cfg.zsize / 2)
+        return val, ok & ~bad
+
+    d_xm, ok0 = shifted_eval(-1, 0, 0)
+    d_xp, ok1 = shifted_eval(1, 0, 0)
+    d_ym, ok2 = shifted_eval(0, -1, 0)
+    d_yp, ok3 = shifted_eval(0, 1, 0)
+    d_zm, ok4 = shifted_eval(0, 0, -1)
+    d_zp, ok5 = shifted_eval(0, 0, 1)
+    nvalid &= ok0 & ok1 & ok2 & ok3 & ok4 & ok5
+    nx = (d_xp - d_xm) * mdn / (2 * csx)
+    ny = (d_yp - d_ym) * mdn / (2 * csy)
+    nz = (d_zp - d_zm) * mdn / (2 * csz)
+    nn = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+    nn = jnp.where(nn == 0, 1.0, nn)
+
+    # ---- min-combine into the tile's output block ----
+    # Consecutive pairs of the same tile accumulate in the VMEM-resident
+    # out block (pairs are tile-sorted); the FIRST pair of a tile within
+    # this pallas_call seeds it from the aliased input, which carries the
+    # state across chunked calls. The first-crossing rule is the min over
+    # pair keys (the pre-refinement bracket position, matching
+    # cpp:318-371's stop-at-first-crossing).
+    @pl.when(first == 1)
+    def _():
+        for ch in range(NCH):
+            out_ref[0, ch] = out_in_ref[0, ch]
+
+    key = jnp.where(found, t_bt, big)
+    cur = out_ref[0, 0]
+    win = key < cur
+    out_ref[0, 0] = jnp.where(win, key, cur)
+    out_ref[0, 1] = jnp.where(win, t_star, out_ref[0, 1])
+    out_ref[0, 2] = jnp.where(win, valid.astype(f32), out_ref[0, 2])
+    out_ref[0, 3] = jnp.where(win, nvalid.astype(f32), out_ref[0, 3])
+    out_ref[0, 4] = jnp.where(win, nx / nn, out_ref[0, 4])
+    out_ref[0, 5] = jnp.where(win, ny / nn, out_ref[0, 5])
+    out_ref[0, 6] = jnp.where(win, nz / nn, out_ref[0, 6])
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5))
+def raycast_pairs(pack: RenderPack, meta, pose, downsample_by: int,
+                  pair_budget: int, interpret: bool = False):
+    """Run the march kernel over the pair list. Returns out [T+1, NCH, 8, 128]."""
+    cfg = pack.config
+    ds = downsample_by
+    W, H = cfg.image_width // ds, cfg.image_height // ds
+    TX, TY = -(-W // TILE_PX), -(-H // TILE_PX)
+    T = TX * TY
+    cell_min = min(cfg.cell_size)
+    # march budget: brick diagonal + overlap at >= cell/4 steps is the hard
+    # bound; adaptive steps make typical trips far shorter
+    diag = math.sqrt(3.0) * 8 * max(cfg.cell_size) + 3 * cell_min
+    max_march = min(72, int(diag / (cell_min / 4.0)) + 8)
+    max_bt = int(cfg.max_dist_neg / (cfg.cell_size[2] / 2.0)) + 3
+
+    pose = jnp.asarray(pose, jnp.float32)
+    pose_flat = pose[:3, :].reshape(1, 12)
+    kern = partial(_kernel, cfg, ds, TX, max_march, max_bt)
+
+    # initial output: no crossing anywhere (key = big)
+    out = jnp.zeros((T + 1, NCH, 8, 128), jnp.float32).at[:, 0].set(1e9)
+
+    out_spec = pl.BlockSpec((1, NCH, 8, 128), lambda k, m: (m[k, 1], 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def run_chunk(meta_c, out_c):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(meta_c.shape[0],),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),                   # pose
+                pl.BlockSpec((1, 1, TABLE), lambda k, m: (m[k, 0], 0, 0),
+                             memory_space=pltpu.VMEM),                    # table
+                out_spec,                                                 # prior out
+            ],
+            out_specs=out_spec,
+        )
+        return pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((T + 1, NCH, 8, 128), jnp.float32),
+            # flat input indices include the scalar-prefetch arg:
+            # meta=0 pose=1 tables=2 out=3
+            input_output_aliases={3: 0},
+            interpret=interpret,
+        )(meta_c, pose_flat, pack.tables, out_c)
+
+    # the [P, 8] meta lives in SMEM (scalar prefetch); ~1024 rows per call is
+    # the budget (same constraint as ops/pallas_fusion.MAX_BRICKS_PER_CALL)
+    for s0 in range(0, meta.shape[0], MAX_PAIRS_PER_CALL):
+        mc = meta[s0:s0 + MAX_PAIRS_PER_CALL]
+        # first-visit flags are per-CHUNK (each chunk re-seeds its tiles
+        # from the carried buffer)
+        fc = jnp.concatenate([jnp.ones((1,), bool), mc[1:, 1] != mc[:-1, 1]])
+        out = run_chunk(mc.at[:, 5].set(fc.astype(jnp.int32)), out)
+    return out
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _render_pallas_jit(pack: RenderPack, pose, downsample_by: int,
+                       pair_budget: int, colored: bool, interpret: bool):
+    from ..bricks import gather_color
+    from ..geometry import voxel_index
+    from .color import color_to_rgb
+    from .raycast import assemble_view, camera_rays
+
+    cfg = pack.config
+    ds = downsample_by
+    W, H = cfg.image_width // ds, cfg.image_height // ds
+    TX, TY = -(-W // TILE_PX), -(-H // TILE_PX)
+    pose = jnp.asarray(pose, jnp.float32)
+
+    meta, tile_hit, overflow = build_pairs(pack, pose, ds, pair_budget)
+    out = raycast_pairs(pack, meta, pose, ds, pair_budget, interpret)
+
+    # un-tile [T+1, NCH, 8, 128] -> [H, W] per channel
+    def untile(ch):
+        t = out[:-1, ch]                                  # [T, 8, 128]
+        t = t.reshape(TY, TX, 8, 4, TILE_PX)              # s=(8), l=(4,32)
+        t = t.transpose(0, 2, 3, 1, 4).reshape(TY, TILE_PX, TX * TILE_PX)
+        return t.reshape(TY * TILE_PX, TX * TILE_PX)[:H, :W]
+
+    tile_ok = jnp.repeat(jnp.repeat(tile_hit.reshape(TY, TX), TILE_PX, 0),
+                         TILE_PX, 1)[:H, :W]
+    t_star = untile(1)
+    valid = (untile(2) > 0) & tile_ok
+    nvalid = (untile(3) > 0) & tile_ok
+    nx, ny, nz = untile(4), untile(5), untile(6)
+
+    origins, dirs = camera_rays(cfg, pose, ds)
+    tsf = t_star.reshape(-1)
+    r = dict(
+        hit_x=origins[:, 0] + tsf * dirs[:, 0],
+        hit_y=origins[:, 1] + tsf * dirs[:, 1],
+        hit_z=origins[:, 2] + tsf * dirs[:, 2],
+        normal_x=nx.reshape(-1), normal_y=ny.reshape(-1), normal_z=nz.reshape(-1),
+        t_star=tsf, valid=valid.reshape(-1), normal_valid=nvalid.reshape(-1),
+    )
+    if colored and pack.color is not None:
+        ix, iy, iz, okc = voxel_index(pack.config, r["hit_x"], r["hit_y"], r["hit_z"])
+        vox_cols = gather_color(pack, ix, iy, iz)
+        rr, gg, bb = color_to_rgb(cfg.color_mode, vox_cols)
+        r["rgb_r"], r["rgb_g"], r["rgb_b"] = rr, gg, bb
+        r["rgb_valid"] = okc & r["valid"]
+    return assemble_view(cfg, pose, r, H, W), overflow
+
+
+def render_view_pallas(vol, pose, downsample_by: int = 1, colored: bool = False,
+                       pack: Optional[RenderPack] = None, r_budget: int = 4096,
+                       pair_budget: int = 16384, interpret: bool = False):
+    """Render a BrickVolume with the Pallas march kernel.
+
+    Falls back to the XLA renderer (ops.raycast.render_view) when the volume
+    exceeds the kernel budgets (active bricks, pair list) or is not an 8^3
+    brick volume. Pass a prebuilt `pack` to amortize table assembly across
+    renders of the same volume state.
+    """
+    from ..bricks import BrickVolume
+    from .raycast import render_view
+
+    if not (isinstance(vol, BrickVolume) and vol.brick_size == 8):
+        return render_view(vol, pose, downsample_by, colored=colored)
+    if pack is None:
+        if int(vol.n_active) + 1 > r_budget:
+            return render_view(vol, pose, downsample_by, colored=colored)
+        pack = make_render_pack(vol, r_budget)
+    res, overflow = _render_pallas_jit(pack, jnp.asarray(pose, jnp.float32),
+                                       downsample_by, pair_budget, colored,
+                                       interpret)
+    if bool(overflow):
+        return render_view(vol, pose, downsample_by, colored=colored)
+    return res

@@ -193,27 +193,33 @@ def integrate_bricks_sharded(bv: BrickVolume, depth, pose, mesh: Mesh,
                                   update_budget, mesh)
 
 
-def merge_sharded(bv: BrickVolume) -> BrickVolume:
+def merge_sharded(bv: BrickVolume, device=None) -> BrickVolume:
     """Gather a slab-sharded brick volume into a plain single-device one.
 
-    Global slot ids already match concatenated data rows, so this is just a
-    device_put + n_active summary (the per-device dump rows stay inert)."""
-    total = int(jnp.max(bv.n_active)) if bv.n_active.ndim else int(bv.n_active)
-    merged = jax.device_get(bv)
-    n_total = int(np.sum(np.asarray(merged.n_active)))
-    return dataclasses.replace(
-        BrickVolume(
-            brick_map=jnp.asarray(np.asarray(merged.brick_map)),
-            n_active=jnp.int32(n_total),
-            coords=jnp.asarray(np.asarray(merged.coords)),
-            sdf=jnp.asarray(np.asarray(merged.sdf)),
-            weight=jnp.asarray(np.asarray(merged.weight)),
-            M=jnp.asarray(np.asarray(merged.M)),
-            nsample=jnp.asarray(np.asarray(merged.nsample)),
-            color=None if merged.color is None else jnp.asarray(np.asarray(merged.color)),
-            global_transform=jnp.asarray(np.asarray(merged.global_transform)),
-            overflowed=jnp.asarray(bool(np.asarray(merged.overflowed))),
-            config=bv.config,
-            brick_size=bv.brick_size,
-            capacity=bv.capacity,
-        ))
+    Global slot ids already match concatenated data rows, so this is a pure
+    device-side reshard (device-to-device gather over ICI on hardware — no
+    host round trip); the per-device dump rows stay inert."""
+    if device is None:
+        # deterministic: the lowest-id device holding the array (an arbitrary
+        # set.pop() here perturbs later executables' device assignment)
+        devs = bv.sdf.devices() if hasattr(bv.sdf, "devices") else set(jax.devices()[:1])
+        device = min(devs, key=lambda d: d.id)
+
+    def g(a):
+        return jax.device_put(a, device)
+
+    return BrickVolume(
+        brick_map=g(bv.brick_map),
+        n_active=g(jnp.sum(bv.n_active).astype(jnp.int32)),
+        coords=g(bv.coords),
+        sdf=g(bv.sdf),
+        weight=g(bv.weight),
+        M=g(bv.M),
+        nsample=g(bv.nsample),
+        color=None if bv.color is None else g(bv.color),
+        global_transform=g(bv.global_transform),
+        overflowed=g(bv.overflowed),
+        config=bv.config,
+        brick_size=bv.brick_size,
+        capacity=bv.capacity,
+    )

@@ -52,25 +52,7 @@ def depth_residual(vol, pose, depth_obs, downsample_by: int = 1,
     registration error. This is the differentiable counterpart of the
     reference's getFxn/getGradient pose-alignment surface (SURVEY §3.5).
     """
-    from .ops.interpolate import tsdf_value_vol
-
-    cfg = vol.config
-    obs = depth_obs[::downsample_by, ::downsample_by]
-    H, W = obs.shape
-    uu = jnp.arange(W, dtype=jnp.float32)[None, :] * downsample_by
-    vv = jnp.arange(H, dtype=jnp.float32)[:, None] * downsample_by
-    x = (uu - cfg.principal_point_x) / cfg.focal_length_x * obs
-    y = (vv - cfg.principal_point_y) / cfg.focal_length_y * obs
-    ok = ~jnp.isnan(obs)
-    zs = jnp.where(ok, obs, 1.0)
-    xs = jnp.where(ok, x, 0.0)
-    ys = jnp.where(ok, y, 0.0)
-    px = pose[0, 0] * xs + pose[0, 1] * ys + pose[0, 2] * zs + pose[0, 3]
-    py = pose[1, 0] * xs + pose[1, 1] * ys + pose[1, 2] * zs + pose[1, 3]
-    pz = pose[2, 0] * xs + pose[2, 1] * ys + pose[2, 2] * zs + pose[2, 3]
-    val, valid = tsdf_value_vol(vol, px.reshape(-1), py.reshape(-1), pz.reshape(-1))
-    valid &= ok.reshape(-1)
-    r = val * cfg.max_dist_neg  # meters
+    r, valid = _alignment_residuals(vol, pose, depth_obs, downsample_by)
     delta = 0.01
     hub = jnp.where(jnp.abs(r) < delta, 0.5 * r * r,
                     delta * (jnp.abs(r) - 0.5 * delta))
@@ -114,7 +96,9 @@ def refine_pose_step(vol, pose, depth_obs, downsample_by: int = 1,
 
     twist0 = jnp.zeros(6)
     (r0, valid), = (res_fn(twist0),)
-    J = jax.jacrev(lambda t: res_fn(t)[0])(twist0)      # [N, 6]
+    # forward-mode: 6 jvp tangents (cheap for a 6-dim input, and avoids
+    # rematerializing the residual graph 6x like jacrev would)
+    J = jax.jacfwd(lambda t: res_fn(t)[0])(twist0)      # [N, 6]
     JtJ = J.T @ J
     Jtr = J.T @ r0
     lam = (1.0 / jnp.maximum(lr, 1e-6) - 1.0) + 1e-3

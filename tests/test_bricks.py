@@ -166,3 +166,33 @@ def test_brick_mc_confidence_colors(scene):
     v2, f2, c2 = extract_mesh(bv, min_weight=0.5, color_by_confidence=True)
     assert c2 is not None and len(c2) == len(v2)
     assert (c2[:, 2] > 200).all()  # w=1 -> mostly blue
+
+
+def test_num_random_splits_jitter(scene):
+    """num_random_splits > 1 activates extra jittered bricks
+    (hpp:69-88: per-pixel noise of magnitude <= 0.03 m), deterministically
+    under a fixed key, as a superset of the un-jittered activation."""
+    import jax
+
+    cfg, pose, depth = scene
+    cfgj = dataclasses.replace(cfg, num_random_splits=3)
+    b1 = make_brick_volume(cfg, brick_size=8, capacity=2048)
+    b1 = integrate_bricks(b1, jnp.asarray(depth), jnp.asarray(pose, jnp.float32))
+    bj = make_brick_volume(cfgj, brick_size=8, capacity=2048)
+    bj = integrate_bricks(bj, jnp.asarray(depth), jnp.asarray(pose, jnp.float32),
+                          split_key=jax.random.PRNGKey(7))
+    m1 = np.asarray(b1.brick_map) >= 0
+    mj = np.asarray(bj.brick_map) >= 0
+    assert (m1 & ~mj).sum() == 0          # superset
+    assert mj.sum() >= m1.sum()
+    # deterministic under the same key
+    bj2 = make_brick_volume(cfgj, brick_size=8, capacity=2048)
+    bj2 = integrate_bricks(bj2, jnp.asarray(depth), jnp.asarray(pose, jnp.float32),
+                           split_key=jax.random.PRNGKey(7))
+    np.testing.assert_array_equal(np.asarray(bj.brick_map), np.asarray(bj2.brick_map))
+    # fusion values on the original band are unchanged (jitter only splits)
+    band1 = to_dense(b1)
+    bandj = to_dense(bj)
+    obs = np.asarray(band1.weight) > 0
+    np.testing.assert_array_equal(np.asarray(bandj.sdf)[obs],
+                                  np.asarray(band1.sdf)[obs])
