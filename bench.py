@@ -1,20 +1,33 @@
 """Framework benchmark. Prints ONE JSON line:
-  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ..., "extra": {...}}
 
 Headline: depth-frame integration throughput at the reference's library
 working point (512^3 voxels, 3m volume, 640x480 @ f=525 — SURVEY §6),
-brick-sparse path with the Pallas fusion kernel on TPU.
+brick-sparse path with the Pallas fusion kernel on TPU. Reported as the
+MEDIAN of several measured batches (the shared TPU tunnel has large
+run-to-run variance; a single average is not robust).
+
+Extra metrics in the same JSON object:
+  raycast_rays_per_s      Pallas ray-march kernel, full 640x480 render,
+                          including per-render pack build
+  raycast_vs_baseline     vs the CPU reference-design renderView
+  mc_triangles_per_s      marching-cubes extraction throughput
+  raycast_parity_ok       compiled-kernel-vs-XLA agreement on this TPU
+  integrate_2048_fps      (only with BENCH_FULL=1) the reference CLI's
+                          default working point, 2048^3 / 12 m
 
 Baseline: bench/baseline_octree.cpp — a faithful re-creation of the
 reference's pointer-octree DESIGN (the reference itself needs PCL, which is
-unavailable), same scene, measured on this machine's CPU. The result is
-cached in bench/baseline_results.json.
+unavailable), same scene, measured on this machine's CPU; cached in
+bench/baseline_results.json.
 
 Diagnostics go to stderr; stdout carries exactly the one JSON line.
+`--profile` additionally writes a jax.profiler trace to .profile/.
 """
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 import time
@@ -27,9 +40,11 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_CACHE = os.path.join(REPO, "bench", "baseline_results.json")
 # Measured on this machine's 4-core CPU (bench/baseline_octree 512 20) in case
 # the C++ toolchain is unavailable at bench time.
-FALLBACK_BASELINE_FPS = 72.5
+FALLBACK_BASELINE = {"integrate_fps": 72.5, "raycast_rays_per_s": 2.87e6}
 
-FRAMES = 50
+WARMUP_FRAMES = 10
+BATCHES = 5
+FRAMES_PER_BATCH = 20
 
 
 def log(*a):
@@ -42,7 +57,7 @@ def measure_baseline():
             return json.load(f)
     src = os.path.join(REPO, "bench", "baseline_octree.cpp")
     exe = os.path.join(REPO, "bench", "baseline_octree")
-    result = {"integrate_fps": FALLBACK_BASELINE_FPS, "source": "recorded"}
+    result = dict(FALLBACK_BASELINE, source="recorded")
     try:
         if not os.path.exists(exe):
             subprocess.run(["g++", "-O3", "-fopenmp", "-std=c++17", src, "-o", exe],
@@ -73,13 +88,13 @@ def tilted_pose():
 
 
 def main():
+    profile = "--profile" in sys.argv
+    full = os.environ.get("BENCH_FULL") == "1" or "--full" in sys.argv
     baseline = measure_baseline()
     log(f"baseline: {baseline}")
 
     import jax
 
-    # Persistent compilation cache: the remote TPU compile helper in this
-    # environment takes minutes per kernel; cache across bench runs.
     cache_dir = os.path.join(REPO, ".jax_cache")
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
@@ -102,27 +117,122 @@ def main():
 
     @jax.jit
     def fence(w):
-        return jnp.sum(w)
+        return jnp.sum(jnp.where(jnp.isnan(w), 0.0, w))
 
+    extra = {}
+
+    # ---- integrate headline: median of measured batches --------------------
     bv = make_brick_volume(cfg, 8, 1 << 15)
     t0 = time.time()
     bv = integrate_bricks(bv, depth, pose, None, budget, use_pallas, False)
     _ = float(fence(bv.weight))
     log(f"compile+first frame: {time.time()-t0:.1f}s; active bricks {int(bv.n_active)}")
 
-    t0 = time.time()
-    _ = float(fence(bv.weight))
-    fence_cost = time.time() - t0
+    if profile:
+        jax.profiler.start_trace(os.path.join(REPO, ".profile"))
 
-    t0 = time.time()
-    for _ in range(FRAMES):
+    for _ in range(WARMUP_FRAMES):
         bv = integrate_bricks(bv, depth, pose, None, budget, use_pallas, False)
     _ = float(fence(bv.weight))
-    per_frame = (time.time() - t0 - fence_cost) / FRAMES
-    fps = 1.0 / per_frame
-    voxups = int(bv.n_active) * 512 / per_frame
-    log(f"integrate: {per_frame*1000:.1f} ms/frame = {fps:.1f} fps "
-        f"({voxups/1e6:.0f}M brick-voxel updates/s); overflow={bool(bv.overflowed)}")
+
+    batch_fps = []
+    for b in range(BATCHES):
+        t0 = time.time()
+        for _ in range(FRAMES_PER_BATCH):
+            bv = integrate_bricks(bv, depth, pose, None, budget, use_pallas, False)
+        _ = float(fence(bv.weight))
+        per = (time.time() - t0) / FRAMES_PER_BATCH
+        batch_fps.append(1.0 / per)
+        log(f"batch {b}: {per*1000:.1f} ms/frame = {1/per:.1f} fps")
+    fps = statistics.median(batch_fps)
+    log(f"integrate median fps: {fps:.1f} (batches: {[round(f,1) for f in batch_fps]}); "
+        f"overflow={bool(bv.overflowed)}")
+
+    if profile:
+        jax.profiler.stop_trace()
+        log("profiler trace written to .profile/")
+
+    # ---- raycast: Pallas march kernel, full-res render --------------------
+    try:
+        from cpu_tsdf_tpu.ops.pallas_raycast import (make_render_pack,
+                                                     _render_pallas_jit)
+        from cpu_tsdf_tpu import render_view
+
+        n_rays = cfg.image_width * cfg.image_height
+        t0 = time.time()
+        pack = make_render_pack(bv, 4096)
+        res, ovf = _render_pallas_jit(pack, pose, 1, 32768, False, False)
+        _ = float(fence(res.depth))
+        log(f"raycast compile+first: {time.time()-t0:.1f}s overflow={bool(ovf)}")
+        rates = []
+        for _ in range(3):
+            t0 = time.time()
+            n = 5
+            for _ in range(n):
+                pack = make_render_pack(bv, 4096)
+                res, _ = _render_pallas_jit(pack, pose, 1, 32768, False, False)
+            _ = float(fence(res.depth))
+            rates.append(n_rays / ((time.time() - t0) / n))
+        rays_per_s = statistics.median(rates)
+        extra["raycast_rays_per_s"] = round(rays_per_s)
+        if baseline.get("raycast_rays_per_s"):
+            extra["raycast_vs_baseline"] = round(
+                rays_per_s / baseline["raycast_rays_per_s"], 3)
+        log(f"raycast: {rays_per_s/1e6:.2f} M rays/s (incl pack build)")
+
+        # compiled-kernel parity vs the XLA march on this chip (ds=4)
+        rx = render_view(bv, pose, downsample_by=4)
+        from cpu_tsdf_tpu.ops.pallas_raycast import render_view_pallas
+
+        rp = render_view_pallas(bv, pose, downsample_by=4, pack=pack)
+        dx = np.asarray(rx.depth)
+        dp = np.asarray(rp.depth)
+        both = np.isfinite(dx) & np.isfinite(dp)
+        agree = float((np.isfinite(dx) == np.isfinite(dp)).mean())
+        med = float(np.median(np.abs(dx[both] - dp[both]))) if both.any() else 1e9
+        parity = agree > 0.97 and med < 1e-4
+        extra["raycast_parity_ok"] = bool(parity)
+        log(f"raycast parity: validity agree {agree:.4f}, median {med*1000:.3f} mm "
+            f"-> {'OK' if parity else 'FAIL'}")
+    except Exception as e:
+        log(f"raycast bench failed: {e!r}")
+
+    # ---- marching cubes ---------------------------------------------------
+    try:
+        from cpu_tsdf_tpu.ops.marching_cubes import extract_mesh
+
+        t0 = time.time()
+        v, f, _ = extract_mesh(bv, min_weight=0.5)
+        t_first = time.time() - t0
+        t0 = time.time()
+        v, f, _ = extract_mesh(bv, min_weight=0.5)
+        dt = time.time() - t0
+        extra["mc_triangles_per_s"] = round(len(f) / dt)
+        log(f"marching cubes: {len(f)} tris in {dt*1000:.0f} ms "
+            f"({len(f)/dt/1e6:.2f} M tris/s; first {t_first:.1f}s)")
+    except Exception as e:
+        log(f"mc bench failed: {e!r}")
+
+    # ---- 2048^3: the reference CLI's default working point ----------------
+    if full:
+        try:
+            cfg2 = TSDFConfig().with_updates(
+                xres=2048, yres=2048, zres=2048,
+                xsize=12.0, ysize=12.0, zsize=12.0, min_sensor_dist=0.3)
+            d2 = jnp.asarray(sphere_depth(cfg2, center=(-0.013, -0.021, 1.0), radius=0.5))
+            bv2 = make_brick_volume(cfg2, 8, 1 << 15)
+            t0 = time.time()
+            bv2 = integrate_bricks(bv2, d2, pose, None, budget, use_pallas, False)
+            _ = float(fence(bv2.weight))
+            log(f"2048 compile+first: {time.time()-t0:.1f}s n={int(bv2.n_active)}")
+            t0 = time.time()
+            for _ in range(20):
+                bv2 = integrate_bricks(bv2, d2, pose, None, budget, use_pallas, False)
+            _ = float(fence(bv2.weight))
+            extra["integrate_2048_fps"] = round(20 / (time.time() - t0), 2)
+            log(f"2048^3 integrate: {extra['integrate_2048_fps']} fps")
+        except Exception as e:
+            log(f"2048 bench failed: {e!r}")
 
     vs = fps / baseline["integrate_fps"]
     print(json.dumps({
@@ -130,6 +240,7 @@ def main():
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(vs, 3),
+        "extra": extra,
     }), flush=True)
     return 0
 

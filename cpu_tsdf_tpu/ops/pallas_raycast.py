@@ -52,7 +52,9 @@ from ..config import TSDFConfig
 
 HALO = 4                   # voxels of halo per side; table = (8 + 2*HALO)^3 = 16^3
 TDIM = 16
-TABLE = TDIM * TDIM * TDIM  # 4096
+TABLE = TDIM * TDIM * TDIM   # 4096 voxels
+PTABLE = TABLE // 2          # int32 lanes: two z-adjacent int16 values each
+NAN_Q = -32768               # quantized sentinel for unobserved voxels
 TILE_PX = 32               # ray tile = 32x32 pixels = (8, 128) lanes
 MAX_TILES_PER_BRICK = 36   # bricks whose footprint spans more trigger overflow
 NCH = 8                    # out channels: key_t, t_star, valid, nvalid, nx, ny, nz, pad
@@ -64,7 +66,7 @@ MAX_PAIRS_PER_CALL = 1024  # scalar-prefetch SMEM budget per pallas_call
 class RenderPack:
     """Prebuilt kernel inputs for one brick volume state."""
 
-    tables: jnp.ndarray      # f32 [R, 1, TABLE] haloed NaN-packed SDF per slot
+    tables: jnp.ndarray      # int32 [R, 1, PTABLE] haloed SDF, int16 z-pairs
     coords: jnp.ndarray      # int32 [R, 3] brick coords (-1 = unused row)
     n_active: jnp.ndarray    # int32
     global_transform: jnp.ndarray
@@ -73,6 +75,11 @@ class RenderPack:
     config: TSDFConfig = dataclasses.field(metadata=dict(static=True))
     brick_size: int = dataclasses.field(metadata=dict(static=True))
     capacity: int = dataclasses.field(metadata=dict(static=True))
+
+
+def _quant_scale(cfg: TSDFConfig) -> float:
+    """int16 quantization scale: SDF values span [-1, max_dist_pos/mdn]."""
+    return 32000.0 / max(1.0, cfg.max_dist_pos / cfg.max_dist_neg)
 
 
 @partial(jax.jit, static_argnums=(1,))
@@ -119,8 +126,17 @@ def make_render_pack(vol, r_budget: int = 4096) -> RenderPack:
                 blk = rd_pad[:, sx, sy, sz][nslot]      # sliced row gather [R, ...]
                 tab = tab.at[:, dx, dy, dz].set(blk)
 
+    # quantize to int16 and pack z-pairs into int32 lanes (halves the
+    # kernel's per-lookup chunk scans; ~2e-5 value error)
+    scale = _quant_scale(cfg)
+    q = jnp.where(jnp.isnan(tab), NAN_Q,
+                  jnp.clip(jnp.round(tab * scale), -32767, 32767)).astype(jnp.int32)
+    q0 = q[..., 0::2]
+    q1 = q[..., 1::2]
+    packed = (q1 << 16) | (q0 & 0xFFFF)
+
     return RenderPack(
-        tables=tab.reshape(R, 1, TABLE),
+        tables=packed.reshape(R, 1, PTABLE),
         coords=jnp.where(used[:, None], coords, -1),
         n_active=jnp.minimum(vol.n_active, R - 1),
         global_transform=vol.global_transform,
@@ -243,34 +259,36 @@ def build_pairs(pack: RenderPack, pose, downsample_by: int, pair_budget: int):
 # the kernel
 # ---------------------------------------------------------------------------
 
-def _make_lookup(tab_ref):
-    """Build the chunked table-lookup closure.
+def _make_pair_lookup(tab_ref, inv_scale):
+    """Chunked lookup into the int16-PAIR-packed table.
 
     Mosaic's ``tpu.dynamic_gather`` only lowers lane-wise at (8, 128) and only
     runs at vector speed when the gathered data is a BROADCAST row (bisected:
-    bench/pallas_probe*.py — per-sublane-distinct data scalarizes to ~3.4 us
-    per op, broadcast rows run ~35 ns). So the 16^3 table is scanned as
-    TABLE/128 broadcast-row chunks with a hi-bits select.
+    bench/pallas_probe*.py), so lookups scan PTABLE/128 broadcast-row chunks
+    with a hi-bits select — table size is the per-lookup cost driver, which is
+    why two z-adjacent voxels are packed per int32 lane (quantized to 1/32000
+    of the SDF range: ~2e-5 value error, far below every parity tolerance).
+
+    Returns (v_even, v_odd, bad_even, bad_odd) for a packed-pair flat index.
     """
-    nchunks = TABLE // 128
+    nchunks = PTABLE // 128
     chunks = [jnp.broadcast_to(tab_ref[0, 0, c * 128:(c + 1) * 128].reshape(1, 128),
                                (8, 128)) for c in range(nchunks)]
 
-    def lookup(ix, iy, iz):
-        """NaN-packed SDF at table voxel coords (clipped)."""
-        tx = jnp.clip(ix + HALO, 0, TDIM - 1)
-        ty = jnp.clip(iy + HALO, 0, TDIM - 1)
-        tz = jnp.clip(iz + HALO, 0, TDIM - 1)
-        flat = (tx << 8) | (ty << 4) | tz
-        hi = flat >> 7
-        lo = flat & 127
-        acc = jnp.zeros((8, 128), jnp.float32)
+    def lookup_pair(fp):
+        hi = fp >> 7
+        lo = fp & 127
+        acc = jnp.zeros((8, 128), jnp.int32)
         for c in range(nchunks):
             part = jnp.take_along_axis(chunks[c], lo, axis=1)
             acc = jnp.where(hi == c, part, acc)
-        return acc
+        q0 = (acc << 16) >> 16          # arithmetic shifts sign-extend
+        q1 = acc >> 16
+        return (q0.astype(jnp.float32) * inv_scale,
+                q1.astype(jnp.float32) * inv_scale,
+                q0 == NAN_Q, q1 == NAN_Q)
 
-    return lookup
+    return lookup_pair
 
 
 def _kernel(cfg: TSDFConfig, ds: int, TX: int, max_march: int, max_bt: int,
@@ -294,7 +312,62 @@ def _kernel(cfg: TSDFConfig, ds: int, TX: int, max_march: int, max_bt: int,
     first = meta_ref[k, 5]
     pair_valid = meta_ref[k, 6]
 
-    lookup = _make_lookup(tab_ref)
+    lookup_pair = _make_pair_lookup(tab_ref, 1.0 / _quant_scale(cfg))
+
+    def nn_lookup(ix, iy, iz):
+        """Nearest-voxel (value, unobserved) at table coords (clipped)."""
+        tx = jnp.clip(ix + HALO, 0, TDIM - 1)
+        ty = jnp.clip(iy + HALO, 0, TDIM - 1)
+        tz = jnp.clip(iz + HALO, 0, TDIM - 1)
+        fp = (((tx << 4) | ty) << 3) | (tz >> 1)
+        v0, v1, b0, b1 = lookup_pair(fp)
+        odd = (tz & 1) == 1
+        return jnp.where(odd, v1, v0), jnp.where(odd, b1, b0)
+
+    def column2(lx_, ly_, lz_):
+        """Corner values at local z, z+1 for one (x, y) column (2 lookups)."""
+        tx = jnp.clip(lx_ + HALO, 0, TDIM - 1)
+        ty = jnp.clip(ly_ + HALO, 0, TDIM - 1)
+        tz0 = jnp.clip(lz_ + HALO, 0, TDIM - 1)
+        tz1 = jnp.clip(lz_ + 1 + HALO, 0, TDIM - 1)
+        base = ((tx << 4) | ty) << 3
+        q0 = tz0 >> 1
+        av0, av1, ab0, ab1 = lookup_pair(base | q0)
+        bv0, bv1, bb0, bb1 = lookup_pair(base | jnp.minimum(q0 + 1, TDIM // 2 - 1))
+        odd0 = (tz0 & 1) == 1
+        c0 = jnp.where(odd0, av1, av0)
+        n0 = jnp.where(odd0, ab1, ab0)
+        from_a = (tz1 >> 1) == q0
+        odd1 = (tz1 & 1) == 1
+        c1 = jnp.where(from_a, jnp.where(odd1, av1, av0), jnp.where(odd1, bv1, bv0))
+        n1 = jnp.where(from_a, jnp.where(odd1, ab1, ab0), jnp.where(odd1, bb1, bb0))
+        return (c0, c1), (n0, n1)
+
+    def column4(lx_, ly_, lz_start):
+        """Corner values at local z offsets 0..3 for one column (3 lookups)."""
+        tx = jnp.clip(lx_ + HALO, 0, TDIM - 1)
+        ty = jnp.clip(ly_ + HALO, 0, TDIM - 1)
+        base = ((tx << 4) | ty) << 3
+        tzs = [jnp.clip(lz_start + o + HALO, 0, TDIM - 1) for o in range(4)]
+        qm = tzs[0] >> 1
+        pairs = [lookup_pair(base | jnp.minimum(qm + d, TDIM // 2 - 1))
+                 for d in range(3)]
+        vals, bads = [], []
+        for o in range(4):
+            rel = tzs[o] - (qm << 1)
+            pi = rel >> 1
+            odd = (rel & 1) == 1
+
+            def sel(pr):
+                return jnp.where(odd, pr[1], pr[0]), jnp.where(odd, pr[3], pr[2])
+
+            v0_, b0_ = sel(pairs[0])
+            v1_, b1_ = sel(pairs[1])
+            v2_, b2_ = sel(pairs[2])
+            vals.append(jnp.where(pi == 0, v0_, jnp.where(pi == 1, v1_, v2_)))
+            bads.append(jnp.where(pi == 0, b0_, jnp.where(pi == 1, b1_, b2_)))
+        return vals, bads
+
     p = lambda i: pose_ref[0, i]
 
     # ---- rays of this tile (pixel (u,v) -> unit dir in volume frame) ----
@@ -344,10 +417,9 @@ def _kernel(cfg: TSDFConfig, ds: int, TX: int, max_march: int, max_bt: int,
         ix = jnp.floor((x - bwx) / csx).astype(jnp.int32)
         iy = jnp.floor((y - bwy) / csy).astype(jnp.int32)
         iz = jnp.floor((z - bwz) / csz).astype(jnp.int32)
-        raw = lookup(ix, iy, iz)
-        nanv = jnp.isnan(raw)
-        d = jnp.where(nanv, -1.0, raw)
-        w = jnp.where(nanv, 0.0, 1.0)
+        raw, bad = nn_lookup(ix, iy, iz)
+        d = jnp.where(bad, -1.0, raw)
+        w = jnp.where(bad, 0.0, 1.0)
         inside = (jnp.abs(x) <= cfg.xsize / 2) & (jnp.abs(y) <= cfg.ysize / 2) \
             & (jnp.abs(z) <= cfg.zsize / 2)
         return d, w, inside
@@ -361,9 +433,10 @@ def _kernel(cfg: TSDFConfig, ds: int, TX: int, max_march: int, max_bt: int,
         d=zero, w=zero, last_d=zero, last_w=zero,
         found=zero,
         done=jnp.where(seg_ok, zero, one),
+        i=jnp.int32(0),
     )
 
-    def march_body(_, s):
+    def march_body(s):
         t = s["t"]
         d_new, w_new, inside = sample(t)
         active = s["done"] == 0
@@ -384,214 +457,204 @@ def _kernel(cfg: TSDFConfig, ds: int, TX: int, max_march: int, max_bt: int,
         s2["t"] = t_next
         done_now = crossing | (t_next > t_end) | (active & ~inside & (t > t_in))
         s2["done"] = jnp.where(done_now, one, s["done"])
+        s2["i"] = s["i"] + 1
         return s2
-
-    st["i"] = jnp.int32(0)
 
     def march_cond(s):
         return (s["i"] < max_march) & (jnp.min(s["done"]) < 0.5)
 
-    def march_step(s):
-        s2 = march_body(0, s)
-        s2["i"] = s["i"] + 1
-        return s2
-
-    s = jax.lax.while_loop(march_cond, march_step, st)
+    s = jax.lax.while_loop(march_cond, march_body, st)
     found = s["found"] > 0
+    has_found = jnp.max(s["found"]) > 0.5
 
-    # ---- phase 2: half-voxel backtrack (cpp:329-354) ----
-    old_t = s["t"] - s["step"]
-    bt = dict(t=s["t"], last_d=s["last_d"], last_w=s["last_w"],
-              done=jnp.where(found, zero, one))
-
-    def bt_body(_, b):
-        active = b["done"] == 0
-        exit_loop = active & (b["t"] < old_t)
-        stepping = active & ~exit_loop
-        t_new = b["t"] - half_cell
-        d_new, w_new, inside = sample(t_new)
-        same_sign = ((b["last_d"] > 0) & (d_new > 0)) | ((b["last_d"] < 0) & (d_new < 0))
-        hit = stepping & inside & same_sign
-        brk_out = stepping & ~inside
-        cont = stepping & inside & ~same_sign
-        b2 = dict(b)
-        b2["last_d"] = jnp.where(hit, d_new, b["last_d"])
-        b2["last_w"] = jnp.where(hit, w_new, b["last_w"])
-        b2["t"] = jnp.where(cont | brk_out, t_new, b["t"])
-        b2["done"] = jnp.where(exit_loop | hit | brk_out, one, b["done"])
-        return b2
-
-    bt["i"] = jnp.int32(0)
-
-    def bt_cond(b):
-        return (b["i"] < max_bt) & (jnp.min(b["done"]) < 0.5)
-
-    def bt_step(b):
-        b2 = bt_body(0, b)
-        b2["i"] = b["i"] + 1
-        return b2
-
-    b = jax.lax.while_loop(bt_cond, bt_step, bt)
-    t_bt = b["t"]
-    step_r = half_cell
-
-    # ---- phase 3: trilinear refinement + normals (cpp:378-419) ----
-    def trilinear(t_or_xyz, is_t=True):
-        if is_t:
-            x = ox + t_or_xyz * dxv
-            y = oy + t_or_xyz * dyv
-            z = oz + t_or_xyz * dzv
-        else:
-            x, y, z = t_or_xyz
-        # corner base: floor index, step back below voxel center, interior
-        # validity on the UN-adjusted index (interpolate.py:_corner_base)
-        gx = jnp.floor((x + cfg.xsize / 2) / csx).astype(jnp.int32)
-        gy = jnp.floor((y + cfg.ysize / 2) / csy).astype(jnp.int32)
-        gz = jnp.floor((z + cfg.zsize / 2) / csz).astype(jnp.int32)
-        ok = (gx > 0) & (gx < cfg.xres - 1) & (gy > 0) & (gy < cfg.yres - 1) \
-            & (gz > 0) & (gz < cfg.zres - 1) \
-            & (jnp.abs(x) <= cfg.xsize / 2) & (jnp.abs(y) <= cfg.ysize / 2) \
-            & (jnp.abs(z) <= cfg.zsize / 2) & ~jnp.isnan(z)
-        ccx = (gx.astype(f32) + 0.5) * csx - cfg.xsize / 2
-        ccy = (gy.astype(f32) + 0.5) * csy - cfg.ysize / 2
-        ccz = (gz.astype(f32) + 0.5) * csz - cfg.zsize / 2
-        gx = jnp.where(x < ccx, gx - 1, gx)
-        gy = jnp.where(y < ccy, gy - 1, gy)
-        gz = jnp.where(z < ccz, gz - 1, gz)
-        gx = jnp.clip(gx, 0, cfg.xres - 2)
-        gy = jnp.clip(gy, 0, cfg.yres - 2)
-        gz = jnp.clip(gz, 0, cfg.zres - 2)
-        vx = (gx.astype(f32) + 0.5) * csx - cfg.xsize / 2
-        vy = (gy.astype(f32) + 0.5) * csy - cfg.ysize / 2
-        vz = (gz.astype(f32) + 0.5) * csz - cfg.zsize / 2
-        a = (x - vx) / csx
-        bb = (y - vy) / csy
-        c = (z - vz) / csz
-        lx = gx - bx * B
-        ly = gy - by * B
-        lz = gz - bz * B
-        val = jnp.zeros((8, 128), f32)
-        vld = ok
-        for ddx in (0, 1):
-            for ddy in (0, 1):
-                for ddz in (0, 1):
-                    raw = lookup(lx + ddx, ly + ddy, lz + ddz)
-                    nanv = jnp.isnan(raw)
-                    dc = jnp.where(nanv, -1.0, raw)
-                    vld &= ~nanv
-                    wx = a if ddx else 1 - a
-                    wy = bb if ddy else 1 - bb
-                    wz = c if ddz else 1 - c
-                    val = val + dc * wx * wy * wz
-        return val, vld
-
-    tprev = t_bt - step_r
-    last_d_tri, valid_prev = trilinear(tprev)
-    d_tri, valid_curr = trilinear(t_bt)
-    valid = found & valid_prev & valid_curr & ~jnp.isnan(d_tri) & ~jnp.isnan(last_d_tri)
-    denom = last_d_tri - d_tri
-    denom = jnp.where(denom == 0, 1e-20, denom)
-    t_star = t_bt + step_r * (-1.0 + jnp.abs(last_d_tri / denom))
-    hx = ox + t_star * dxv
-    hy = oy + t_star * dyv
-    hz = oz + t_star * dzv
-
-    nvalid = valid & (jnp.abs(hx) <= cfg.xsize / 2) & (jnp.abs(hy) <= cfg.ysize / 2) \
-        & (jnp.abs(hz) <= cfg.zsize / 2)
-
-    # ---- normals via one shared corner block ----
-    # The 6 normal samples sit at hit +- exactly one cell, so their corner
-    # bases are the hit's base shifted by one unit (identical fractional
-    # coords). One 32-corner fetch (the "plus" neighborhood) serves all six
-    # trilinear evaluations; only float-epsilon boundary wobble can differ
-    # from evaluating each floor independently like the XLA path does.
-    fx0 = jnp.floor((hx + cfg.xsize / 2) / csx).astype(jnp.int32)
-    fy0 = jnp.floor((hy + cfg.ysize / 2) / csy).astype(jnp.int32)
-    fz0 = jnp.floor((hz + cfg.zsize / 2) / csz).astype(jnp.int32)
-    ccx0 = (fx0.astype(f32) + 0.5) * csx - cfg.xsize / 2
-    ccy0 = (fy0.astype(f32) + 0.5) * csy - cfg.ysize / 2
-    ccz0 = (fz0.astype(f32) + 0.5) * csz - cfg.zsize / 2
-    gx0 = jnp.clip(jnp.where(hx < ccx0, fx0 - 1, fx0), 0, cfg.xres - 2)
-    gy0 = jnp.clip(jnp.where(hy < ccy0, fy0 - 1, fy0), 0, cfg.yres - 2)
-    gz0 = jnp.clip(jnp.where(hz < ccz0, fz0 - 1, fz0), 0, cfg.zres - 2)
-    a0 = (hx - ((gx0.astype(f32) + 0.5) * csx - cfg.xsize / 2)) / csx
-    b0 = (hy - ((gy0.astype(f32) + 0.5) * csy - cfg.ysize / 2)) / csy
-    c0 = (hz - ((gz0.astype(f32) + 0.5) * csz - cfg.zsize / 2)) / csz
-    lx0 = gx0 - bx * B
-    ly0 = gy0 - by * B
-    lz0 = gz0 - bz * B
-    plus_offsets = (
-        [(i, j, k) for i in (-1, 0, 1, 2) for j in (0, 1) for k in (0, 1)]
-        + [(i, j, k) for j in (-1, 2) for i in (0, 1) for k in (0, 1)]
-        + [(i, j, k) for k in (-1, 2) for i in (0, 1) for j in (0, 1)])
-    blk = {}
-    blk_nan = {}
-    for (i, j, k) in plus_offsets:
-        raw = lookup(lx0 + i, ly0 + j, lz0 + k)
-        blk_nan[(i, j, k)] = jnp.isnan(raw)
-        blk[(i, j, k)] = jnp.where(blk_nan[(i, j, k)], -1.0, raw)
-
-    def shifted_eval(sx_, sy_, sz_):
-        val = jnp.zeros((8, 128), f32)
-        bad = jnp.zeros((8, 128), bool)
-        for ddx in (0, 1):
-            for ddy in (0, 1):
-                for ddz in (0, 1):
-                    o = (sx_ + ddx, sy_ + ddy, sz_ + ddz)
-                    bad |= blk_nan[o]
-                    wx = a0 if ddx else 1 - a0
-                    wy = b0 if ddy else 1 - b0
-                    wz = c0 if ddz else 1 - c0
-                    val = val + blk[o] * wx * wy * wz
-        # interior-bounds on the UN-adjusted floor of the shifted point
-        # (interpolate.py:_corner_base validity quirk) + in-volume
-        qfx = fx0 + sx_
-        qfy = fy0 + sy_
-        qfz = fz0 + sz_
-        qx = hx + sx_ * csx
-        qy = hy + sy_ * csy
-        qz = hz + sz_ * csz
-        ok = (qfx > 0) & (qfx < cfg.xres - 1) & (qfy > 0) & (qfy < cfg.yres - 1) \
-            & (qfz > 0) & (qfz < cfg.zres - 1) \
-            & (jnp.abs(qx) <= cfg.xsize / 2) & (jnp.abs(qy) <= cfg.ysize / 2) \
-            & (jnp.abs(qz) <= cfg.zsize / 2)
-        return val, ok & ~bad
-
-    d_xm, ok0 = shifted_eval(-1, 0, 0)
-    d_xp, ok1 = shifted_eval(1, 0, 0)
-    d_ym, ok2 = shifted_eval(0, -1, 0)
-    d_yp, ok3 = shifted_eval(0, 1, 0)
-    d_zm, ok4 = shifted_eval(0, 0, -1)
-    d_zp, ok5 = shifted_eval(0, 0, 1)
-    nvalid &= ok0 & ok1 & ok2 & ok3 & ok4 & ok5
-    nx = (d_xp - d_xm) * mdn / (2 * csx)
-    ny = (d_yp - d_ym) * mdn / (2 * csy)
-    nz = (d_zp - d_zm) * mdn / (2 * csz)
-    nn = jnp.sqrt(nx * nx + ny * ny + nz * nz)
-    nn = jnp.where(nn == 0, 1.0, nn)
-
-    # ---- min-combine into the tile's output block ----
-    # Consecutive pairs of the same tile accumulate in the VMEM-resident
-    # out block (pairs are tile-sorted); the FIRST pair of a tile within
-    # this pallas_call seeds it from the aliased input, which carries the
-    # state across chunked calls. The first-crossing rule is the min over
-    # pair keys (the pre-refinement bracket position, matching
-    # cpp:318-371's stop-at-first-crossing).
+    # ---- seed the tile's output block on its first pair in this call ----
+    # Consecutive pairs of the same tile accumulate in the VMEM-resident out
+    # block (pairs are tile-sorted); the FIRST pair of a tile within this
+    # pallas_call seeds it from the aliased input, which carries the state
+    # across chunked calls.
     @pl.when(first == 1)
     def _():
         for ch in range(NCH):
             out_ref[0, ch] = out_in_ref[0, ch]
 
-    key = jnp.where(found, t_bt, big)
-    cur = out_ref[0, 0]
-    win = key < cur
-    out_ref[0, 0] = jnp.where(win, key, cur)
-    out_ref[0, 1] = jnp.where(win, t_star, out_ref[0, 1])
-    out_ref[0, 2] = jnp.where(win, valid.astype(f32), out_ref[0, 2])
-    out_ref[0, 3] = jnp.where(win, nvalid.astype(f32), out_ref[0, 3])
-    out_ref[0, 4] = jnp.where(win, nx / nn, out_ref[0, 4])
-    out_ref[0, 5] = jnp.where(win, ny / nn, out_ref[0, 5])
-    out_ref[0, 6] = jnp.where(win, nz / nn, out_ref[0, 6])
+    # Phases 2+3 and the combine run only when some lane found a crossing
+    # (back-surface and grazing pairs skip the expensive refinement).
+    @pl.when(has_found)
+    def _():
+        # ---- phase 2: half-voxel backtrack (cpp:329-354) ----
+        old_t = s["t"] - s["step"]
+        bt = dict(t=s["t"], last_d=s["last_d"], last_w=s["last_w"],
+                  done=jnp.where(found, zero, one), i=jnp.int32(0))
+
+        def bt_body(b):
+            active = b["done"] == 0
+            exit_loop = active & (b["t"] < old_t)
+            stepping = active & ~exit_loop
+            t_new = b["t"] - half_cell
+            d_new, w_new, inside = sample(t_new)
+            same_sign = ((b["last_d"] > 0) & (d_new > 0)) \
+                | ((b["last_d"] < 0) & (d_new < 0))
+            hit = stepping & inside & same_sign
+            brk_out = stepping & ~inside
+            cont = stepping & inside & ~same_sign
+            b2 = dict(b)
+            b2["last_d"] = jnp.where(hit, d_new, b["last_d"])
+            b2["last_w"] = jnp.where(hit, w_new, b["last_w"])
+            b2["t"] = jnp.where(cont | brk_out, t_new, b["t"])
+            b2["done"] = jnp.where(exit_loop | hit | brk_out, one, b["done"])
+            b2["i"] = b["i"] + 1
+            return b2
+
+        def bt_cond(b):
+            return (b["i"] < max_bt) & (jnp.min(b["done"]) < 0.5)
+
+        b = jax.lax.while_loop(bt_cond, bt_body, bt)
+        t_bt = b["t"]
+        step_r = half_cell
+
+        # ---- phase 3: trilinear refinement + normals (cpp:378-419) ----
+        def trilinear(tq):
+            x = ox + tq * dxv
+            y = oy + tq * dyv
+            z = oz + tq * dzv
+            # corner base: floor index, step back below voxel center, interior
+            # validity on the UN-adjusted index (interpolate.py:_corner_base)
+            gx = jnp.floor((x + cfg.xsize / 2) / csx).astype(jnp.int32)
+            gy = jnp.floor((y + cfg.ysize / 2) / csy).astype(jnp.int32)
+            gz = jnp.floor((z + cfg.zsize / 2) / csz).astype(jnp.int32)
+            ok = (gx > 0) & (gx < cfg.xres - 1) & (gy > 0) & (gy < cfg.yres - 1) \
+                & (gz > 0) & (gz < cfg.zres - 1) \
+                & (jnp.abs(x) <= cfg.xsize / 2) & (jnp.abs(y) <= cfg.ysize / 2) \
+                & (jnp.abs(z) <= cfg.zsize / 2) & ~jnp.isnan(z)
+            ccx = (gx.astype(f32) + 0.5) * csx - cfg.xsize / 2
+            ccy = (gy.astype(f32) + 0.5) * csy - cfg.ysize / 2
+            ccz = (gz.astype(f32) + 0.5) * csz - cfg.zsize / 2
+            gx = jnp.clip(jnp.where(x < ccx, gx - 1, gx), 0, cfg.xres - 2)
+            gy = jnp.clip(jnp.where(y < ccy, gy - 1, gy), 0, cfg.yres - 2)
+            gz = jnp.clip(jnp.where(z < ccz, gz - 1, gz), 0, cfg.zres - 2)
+            a = (x - ((gx.astype(f32) + 0.5) * csx - cfg.xsize / 2)) / csx
+            bb = (y - ((gy.astype(f32) + 0.5) * csy - cfg.ysize / 2)) / csy
+            c = (z - ((gz.astype(f32) + 0.5) * csz - cfg.zsize / 2)) / csz
+            lx = gx - bx * B
+            ly = gy - by * B
+            lz = gz - bz * B
+            val = jnp.zeros((8, 128), f32)
+            vld = ok
+            for ddx in (0, 1):
+                for ddy in (0, 1):
+                    (c0, c1), (n0, n1) = column2(lx + ddx, ly + ddy, lz)
+                    wx = a if ddx else 1 - a
+                    wy = bb if ddy else 1 - bb
+                    vld &= ~n0 & ~n1
+                    val = val + wx * wy * (jnp.where(n0, -1.0, c0) * (1 - c)
+                                           + jnp.where(n1, -1.0, c1) * c)
+            return val, vld
+
+        tprev = t_bt - step_r
+        last_d_tri, valid_prev = trilinear(tprev)
+        d_tri, valid_curr = trilinear(t_bt)
+        valid = found & valid_prev & valid_curr \
+            & ~jnp.isnan(d_tri) & ~jnp.isnan(last_d_tri)
+        denom = last_d_tri - d_tri
+        denom = jnp.where(denom == 0, 1e-20, denom)
+        t_star = t_bt + step_r * (-1.0 + jnp.abs(last_d_tri / denom))
+        hx = ox + t_star * dxv
+        hy = oy + t_star * dyv
+        hz = oz + t_star * dzv
+
+        nvalid = valid & (jnp.abs(hx) <= cfg.xsize / 2) \
+            & (jnp.abs(hy) <= cfg.ysize / 2) & (jnp.abs(hz) <= cfg.zsize / 2)
+
+        # ---- normals via one shared corner block ----
+        # The 6 normal samples sit at hit +- exactly one cell, so their corner
+        # bases are the hit's base shifted by one unit (identical fractional
+        # coords). One 32-corner "plus" fetch serves all six trilinear
+        # evaluations; only float-epsilon boundary wobble can differ from the
+        # XLA path's independent floors.
+        fx0 = jnp.floor((hx + cfg.xsize / 2) / csx).astype(jnp.int32)
+        fy0 = jnp.floor((hy + cfg.ysize / 2) / csy).astype(jnp.int32)
+        fz0 = jnp.floor((hz + cfg.zsize / 2) / csz).astype(jnp.int32)
+        ccx0 = (fx0.astype(f32) + 0.5) * csx - cfg.xsize / 2
+        ccy0 = (fy0.astype(f32) + 0.5) * csy - cfg.ysize / 2
+        ccz0 = (fz0.astype(f32) + 0.5) * csz - cfg.zsize / 2
+        gx0 = jnp.clip(jnp.where(hx < ccx0, fx0 - 1, fx0), 0, cfg.xres - 2)
+        gy0 = jnp.clip(jnp.where(hy < ccy0, fy0 - 1, fy0), 0, cfg.yres - 2)
+        gz0 = jnp.clip(jnp.where(hz < ccz0, fz0 - 1, fz0), 0, cfg.zres - 2)
+        a0 = (hx - ((gx0.astype(f32) + 0.5) * csx - cfg.xsize / 2)) / csx
+        b0_ = (hy - ((gy0.astype(f32) + 0.5) * csy - cfg.ysize / 2)) / csy
+        c0_ = (hz - ((gz0.astype(f32) + 0.5) * csz - cfg.zsize / 2)) / csz
+        lx0 = gx0 - bx * B
+        ly0 = gy0 - by * B
+        lz0 = gz0 - bz * B
+
+        blk = {}
+        blk_nan = {}
+        for (i, j) in [(i, j) for i in (-1, 0, 1, 2) for j in (0, 1)] \
+                + [(i, j) for i in (0, 1) for j in (-1, 2)]:
+            (c0, c1), (n0, n1) = column2(lx0 + i, ly0 + j, lz0)
+            blk[(i, j, 0)] = jnp.where(n0, -1.0, c0)
+            blk[(i, j, 1)] = jnp.where(n1, -1.0, c1)
+            blk_nan[(i, j, 0)] = n0
+            blk_nan[(i, j, 1)] = n1
+        for (i, j) in [(i, j) for i in (0, 1) for j in (0, 1)]:
+            vals, bads = column4(lx0 + i, ly0 + j, lz0 - 1)
+            for o in range(4):
+                blk[(i, j, o - 1)] = jnp.where(bads[o], -1.0, vals[o])
+                blk_nan[(i, j, o - 1)] = bads[o]
+
+        def shifted_eval(sx_, sy_, sz_):
+            val = jnp.zeros((8, 128), f32)
+            bad = zero > one        # all-False as an i1 vector (Mosaic cannot
+            for ddx in (0, 1):      # truncate an i8 bool buffer to i1)
+                for ddy in (0, 1):
+                    for ddz in (0, 1):
+                        o = (sx_ + ddx, sy_ + ddy, sz_ + ddz)
+                        bad |= blk_nan[o]
+                        wx = a0 if ddx else 1 - a0
+                        wy = b0_ if ddy else 1 - b0_
+                        wz = c0_ if ddz else 1 - c0_
+                        val = val + blk[o] * wx * wy * wz
+            # interior-bounds on the UN-adjusted floor of the shifted point
+            # (interpolate.py:_corner_base validity quirk) + in-volume
+            qfx = fx0 + sx_
+            qfy = fy0 + sy_
+            qfz = fz0 + sz_
+            qx = hx + sx_ * csx
+            qy = hy + sy_ * csy
+            qz = hz + sz_ * csz
+            ok = (qfx > 0) & (qfx < cfg.xres - 1) & (qfy > 0) & (qfy < cfg.yres - 1) \
+                & (qfz > 0) & (qfz < cfg.zres - 1) \
+                & (jnp.abs(qx) <= cfg.xsize / 2) & (jnp.abs(qy) <= cfg.ysize / 2) \
+                & (jnp.abs(qz) <= cfg.zsize / 2)
+            return val, ok & ~bad
+
+        d_xm, ok0 = shifted_eval(-1, 0, 0)
+        d_xp, ok1 = shifted_eval(1, 0, 0)
+        d_ym, ok2 = shifted_eval(0, -1, 0)
+        d_yp, ok3 = shifted_eval(0, 1, 0)
+        d_zm, ok4 = shifted_eval(0, 0, -1)
+        d_zp, ok5 = shifted_eval(0, 0, 1)
+        nvalid2 = nvalid & ok0 & ok1 & ok2 & ok3 & ok4 & ok5
+        nx = (d_xp - d_xm) * mdn / (2 * csx)
+        ny = (d_yp - d_ym) * mdn / (2 * csy)
+        nz = (d_zp - d_zm) * mdn / (2 * csz)
+        nn = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+        nn = jnp.where(nn == 0, 1.0, nn)
+
+        # ---- min-combine into the tile's output block ----
+        # The first-crossing rule is the min over pair keys (the
+        # pre-refinement bracket position, matching cpp:318-371's
+        # stop-at-first-crossing).
+        key = jnp.where(found, t_bt, big)
+        cur = out_ref[0, 0]
+        win = key < cur
+        out_ref[0, 0] = jnp.where(win, key, cur)
+        out_ref[0, 1] = jnp.where(win, t_star, out_ref[0, 1])
+        out_ref[0, 2] = jnp.where(win, valid.astype(f32), out_ref[0, 2])
+        out_ref[0, 3] = jnp.where(win, nvalid2.astype(f32), out_ref[0, 3])
+        out_ref[0, 4] = jnp.where(win, nx / nn, out_ref[0, 4])
+        out_ref[0, 5] = jnp.where(win, ny / nn, out_ref[0, 5])
+        out_ref[0, 6] = jnp.where(win, nz / nn, out_ref[0, 6])
 
 
 @partial(jax.jit, static_argnums=(3, 4, 5))
@@ -626,7 +689,7 @@ def raycast_pairs(pack: RenderPack, meta, pose, downsample_by: int,
             grid=(meta_c.shape[0],),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),                   # pose
-                pl.BlockSpec((1, 1, TABLE), lambda k, m: (m[k, 0], 0, 0),
+                pl.BlockSpec((1, 1, PTABLE), lambda k, m: (m[k, 0], 0, 0),
                              memory_space=pltpu.VMEM),                    # table
                 out_spec,                                                 # prior out
             ],

@@ -1,0 +1,186 @@
+"""Golden validation against the COMPILED reference octree.
+
+bench/ref_extract builds /root/reference/src/lib/octree.cpp verbatim (PCL
+console + boost stubbed) under a faithful driver restatement of
+integrateCloud/updateVoxel. This closes the round-1 gap where every golden
+gate compared against a Python re-statement written by the same author: the
+fusion average, weight cap, Welford M/nsample, split topology and color
+fusion here are genuine reference machine code.
+
+Frustum culling is PCL-only and omitted in the harness, so the framework
+runs with frustum_culling=False for these comparisons.
+"""
+
+import os
+import struct
+import subprocess
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cpu_tsdf_tpu import integrate, make_volume
+from cpu_tsdf_tpu.synthetic import sphere_depth
+
+from test_fusion import tilted_pose
+
+REF_DIR = os.path.join(os.path.dirname(__file__), "..", "bench", "ref_extract")
+EXE = os.path.join(REF_DIR, "ref_fuse")
+
+
+def _build():
+    if os.path.exists(EXE):
+        return True
+    try:
+        subprocess.run(
+            ["g++", "-O2", "-std=c++17", "-I", os.path.join(REF_DIR, "stubs"),
+             "-I", "/root/reference/include",
+             os.path.join(REF_DIR, "ref_fuse.cpp"),
+             "/root/reference/src/lib/octree.cpp", "-o", EXE],
+            check=True, timeout=180, capture_output=True)
+        return True
+    except Exception:
+        return False
+
+
+def _run_reference(cfg, frames, rgbs=None, color_mode="RGB"):
+    """Run the compiled reference fusion; returns dict voxel-index -> fields."""
+    use_color = rgbs is not None
+    buf = struct.pack(
+        "<7i", cfg.xres, cfg.image_width, cfg.image_height, int(use_color),
+        int(cfg.weight_by_depth), int(cfg.weight_by_variance), len(frames))
+    buf += struct.pack(
+        "<11f", cfg.xsize, cfg.max_dist_pos, cfg.max_dist_neg, cfg.max_weight,
+        cfg.min_sensor_dist, cfg.max_sensor_dist, cfg.focal_length_x,
+        cfg.focal_length_y, cfg.principal_point_x, cfg.principal_point_y,
+        cfg.max_cell_size_x)
+    for i, (pose, depth) in enumerate(frames):
+        buf += np.asarray(pose, np.float32).reshape(16).tobytes()
+        buf += np.asarray(depth, np.float32).tobytes()
+        if use_color:
+            buf += np.clip(np.asarray(rgbs[i]), 0, 255).astype(np.uint8).tobytes()
+    out = subprocess.run([EXE, color_mode], input=buf, capture_output=True,
+                         timeout=300, check=True).stdout
+    (n,) = struct.unpack_from("<i", out, 0)
+    rec = np.frombuffer(out[4:], dtype=np.dtype(
+        [("x", "<f4"), ("y", "<f4"), ("z", "<f4"), ("d", "<f4"), ("w", "<f4"),
+         ("M", "<f4"), ("ns", "<i4"), ("r", "u1"), ("g", "u1"), ("b", "u1")]),
+        count=n)
+    cell = cfg.xsize / cfg.xres
+    ix = np.floor((rec["x"] + cfg.xsize / 2) / cell).astype(int)
+    iy = np.floor((rec["y"] + cfg.ysize / 2) / cell).astype(int)
+    iz = np.floor((rec["z"] + cfg.zsize / 2) / cell).astype(int)
+    return {"idx": (ix, iy, iz), "rec": rec}
+
+
+@pytest.fixture(scope="module")
+def have_ref():
+    if not os.path.isdir("/root/reference") or not _build():
+        pytest.skip("reference sources / toolchain unavailable")
+    return True
+
+
+@pytest.mark.slow
+def test_fusion_matches_compiled_reference(have_ref, small_cfg):
+    cfg = small_cfg.with_updates(frustum_culling=False)
+    pose = tilted_pose()
+    depth = np.asarray(sphere_depth(cfg, center=(-0.013, -0.021, 0.9), radius=0.3))
+    ref = _run_reference(cfg, [(pose, depth)])
+    vol = integrate(make_volume(cfg), jnp.asarray(depth), jnp.asarray(pose, jnp.float32))
+    d = np.asarray(vol.sdf)
+    w = np.asarray(vol.weight)
+    M = np.asarray(vol.M)
+    ns = np.asarray(vol.nsample)
+    ix, iy, iz = ref["idx"]
+    rec = ref["rec"]
+    assert len(rec) > 1000
+    np.testing.assert_allclose(d[ix, iy, iz], rec["d"], atol=2e-5)
+    np.testing.assert_allclose(w[ix, iy, iz], rec["w"], atol=1e-5)
+    np.testing.assert_allclose(M[ix, iy, iz], rec["M"], atol=2e-5)
+    np.testing.assert_array_equal(ns[ix, iy, iz], rec["ns"])
+
+
+@pytest.mark.slow
+def test_multiframe_matches_compiled_reference(have_ref, small_cfg):
+    """Two-frame fusion including the weight-cap-after-average path and the
+    reference's split-on-demand topology."""
+    cfg = small_cfg.with_updates(frustum_culling=False, max_weight=1.5)
+    depth = np.asarray(sphere_depth(cfg, center=(-0.013, -0.021, 0.9), radius=0.3))
+    frames = [(tilted_pose(), depth),
+              (tilted_pose(tx=0.063, ty=0.041, tz=-0.88), depth)]
+    ref = _run_reference(cfg, frames)
+    vol = make_volume(cfg)
+    for pose, dep in frames:
+        vol = integrate(vol, jnp.asarray(dep), jnp.asarray(pose, jnp.float32))
+    d = np.asarray(vol.sdf)
+    w = np.asarray(vol.weight)
+    ix, iy, iz = ref["idx"]
+    rec = ref["rec"]
+    # voxels the octree split only in frame 2 miss frame 1's observation at
+    # the fine level (children start fresh) while the dense grid keeps every
+    # voxel at finest resolution from frame 1 on. Compare where the sample
+    # counts agree — the shared-history voxels must match bit-for-bit-ish.
+    same = np.asarray(vol.nsample)[ix, iy, iz] == rec["ns"]
+    assert same.sum() > 600
+    np.testing.assert_allclose(d[ix, iy, iz][same], rec["d"][same], atol=3e-5)
+    np.testing.assert_allclose(w[ix, iy, iz][same], rec["w"][same], atol=2e-5)
+
+
+@pytest.mark.slow
+def test_color_fusion_matches_compiled_reference(have_ref, small_cfg):
+    """RGB fusion through the genuine RGBNode::addObservation
+    (octree.cpp:328-376), including the uint8 truncation quirk."""
+    cfg = small_cfg.with_updates(frustum_culling=False, integrate_color=True,
+                                 color_mode="RGB")
+    pose = tilted_pose()
+    depth = np.asarray(sphere_depth(cfg, center=(-0.013, -0.021, 0.9), radius=0.3))
+    H, W = depth.shape
+    rng = np.random.RandomState(3)
+    rgb = rng.randint(0, 256, (H, W, 3)).astype(np.float32)
+    ref = _run_reference(cfg, [(pose, depth)], rgbs=[rgb], color_mode="RGB")
+    vol = integrate(make_volume(cfg), jnp.asarray(depth),
+                    jnp.asarray(pose, jnp.float32), jnp.asarray(rgb))
+    from cpu_tsdf_tpu.ops.color import color_to_rgb
+
+    r_, g_, b_ = color_to_rgb("RGB", vol.color)
+    ix, iy, iz = ref["idx"]
+    rec = ref["rec"]
+    obsd = np.asarray(vol.weight)[ix, iy, iz] > 0
+    assert obsd.all()
+    for ours, theirs in ((r_, rec["r"]), (g_, rec["g"]), (b_, rec["b"])):
+        got = np.asarray(ours)[ix, iy, iz]
+        np.testing.assert_allclose(got, theirs.astype(np.float32), atol=1.0)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mode", ["RGBNormalized", "LAB"])
+def test_exotic_color_modes_match_compiled_reference(have_ref, small_cfg, mode):
+    """RGBNormalized (chromaticity + intensity, octree.cpp:379-434) and LAB
+    (CIELAB-space averaging with the nonstandard conversion thresholds,
+    octree.cpp:436-581) against the genuine compiled node classes."""
+    cfg = small_cfg.with_updates(frustum_culling=False, integrate_color=True,
+                                 color_mode=mode)
+    depth = np.asarray(sphere_depth(cfg, center=(-0.013, -0.021, 0.9), radius=0.3))
+    H, W = depth.shape
+    rng = np.random.RandomState(11)
+    rgbs = [rng.randint(0, 256, (H, W, 3)).astype(np.float32) for _ in range(2)]
+    frames = [(tilted_pose(), depth),
+              (tilted_pose(tx=0.063, ty=0.041, tz=-0.88), depth)]
+    ref = _run_reference(cfg, frames, rgbs=rgbs, color_mode=mode)
+    vol = make_volume(cfg)
+    for (pose, dep), rgb in zip(frames, rgbs):
+        vol = integrate(vol, jnp.asarray(dep), jnp.asarray(pose, jnp.float32),
+                        jnp.asarray(rgb))
+    from cpu_tsdf_tpu.ops.color import color_to_rgb
+
+    r_, g_, b_ = color_to_rgb(mode, vol.color)
+    ix, iy, iz = ref["idx"]
+    rec = ref["rec"]
+    same = np.asarray(vol.nsample)[ix, iy, iz] == rec["ns"]
+    assert same.sum() > 600
+    for ours, theirs in ((r_, rec["r"]), (g_, rec["g"]), (b_, rec["b"])):
+        got = np.asarray(ours)[ix, iy, iz][same]
+        want = theirs.astype(np.float32)[same]
+        # both sides truncate to uint8 through the same conversions; allow
+        # one count of rounding wobble at the f32/f64 boundary
+        assert (np.abs(got - want) <= 1.0).mean() > 0.99
