@@ -80,6 +80,17 @@ def _integrate_parser() -> argparse.ArgumentParser:
     p.add_argument("--brick-capacity", type=int, default=1 << 15)
     p.add_argument("--metrics-json", default=None,
                    help="write per-frame timing/occupancy metrics to this file")
+    p.add_argument("--save-every", type=int, default=0, metavar="N",
+                   help="checkpoint the volume to OUT/checkpoint.npz every N "
+                        "frames (enables cheap crash recovery)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from OUT/checkpoint.npz (skips already-"
+                        "integrated frames)")
+    p.add_argument("--visualize-every", type=int, default=0, metavar="N",
+                   help="every N frames render the accumulating volume from "
+                        "the current pose and write depth/normal PNGs to "
+                        "OUT/viz_*.png (headless substitute for the "
+                        "reference's --visualize)")
     return p
 
 
@@ -110,9 +121,11 @@ def _integrate_impl(argv=None) -> int:
     import jax.numpy as jnp
 
     from . import integrate, make_volume
-    from .bricks import integrate_bricks, make_brick_volume, to_dense
+    from .bricks import BrickVolume, integrate_bricks, make_brick_volume, to_dense
+    from .log import get_logger
     from .ops.marching_cubes import extract_mesh
 
+    log = get_logger(args.verbose)
     t_start = time.time()
     width, height = args.width, args.height
     fx = args.fx if args.fx is not None else 525.0 * width / 640.0
@@ -121,12 +134,11 @@ def _integrate_impl(argv=None) -> int:
     cy = args.cy if args.cy is not None else height / 2.0 - 0.5
 
     pcd_files, pose_files, binary_poses = pose_io.scrape_directory(args.in_dir)
-    print(f"Found {len(pcd_files)} PCD files; reading "
-          f"{'binary' if binary_poses else 'ascii'} pose files")
+    log.info(f"Found {len(pcd_files)} PCD files; reading "
+             f"{'binary' if binary_poses else 'ascii'} pose files")
     poses = pose_io.load_poses(pose_files, invert=args.invert, pose_units=args.pose_units)
-    if args.verbose:
-        for i, m in enumerate(poses):
-            print(f"Pose[{i}]\n{m}")
+    for i, m in enumerate(poses):
+        log.debug(f"Pose[{i}]\n{m}")
 
     res = snap_resolution_pow2(args.volume_size, args.cell_size)
     cfg = TSDFConfig(
@@ -142,7 +154,7 @@ def _integrate_impl(argv=None) -> int:
         integrate_color=args.color,
         num_random_splits=args.num_random_splits,
     )
-    print(f"Setting resolution: {res} with grid size {args.volume_size}")
+    log.info(f"Setting resolution: {res} with grid size {args.volume_size}")
 
     if args.cloud_only:
         vol = None
@@ -158,9 +170,34 @@ def _integrate_impl(argv=None) -> int:
         num_frames = args.num_frames
     metrics = []
 
-    for i in range(num_frames):
+    # ---- checkpoint/resume (SURVEY §5 failure recovery) ----
+    os.makedirs(args.out_dir, exist_ok=True)
+    ckpt_path = os.path.join(args.out_dir, "checkpoint.npz")
+    state_path = os.path.join(args.out_dir, "checkpoint.json")
+    start_frame = 0
+    if args.resume and os.path.exists(ckpt_path) and os.path.exists(state_path):
+        import json as _json
+
+        with open(state_path) as f:
+            start_frame = int(_json.load(f)["next_frame"])
+        vol = load_any(ckpt_path)
+        if isinstance(vol, BrickVolume):
+            args.sparse = True
+            dev = jax.config.jax_default_device or jax.devices()[0]
+            use_pallas = dev.platform not in ("cpu",)
+        log.info(f"Resuming from {ckpt_path} at frame {start_frame + 1}")
+
+    def save_ckpt(next_frame):
+        import json as _json
+
+        save_checkpoint(ckpt_path, vol)
+        with open(state_path, "w") as f:
+            _json.dump({"next_frame": next_frame}, f)
+        log.info(f"Checkpointed {ckpt_path} (next frame {next_frame + 1})")
+
+    for i in range(start_frame, num_frames):
         t0 = time.time()
-        print(f"On frame {i + 1} / {num_frames}")
+        log.info(f"On frame {i + 1} / {num_frames}")
         cloud = pcd_io.load_pcd(pcd_files[i])
         xyz = cloud.xyz().astype(np.float64) * args.cloud_units
         rgb = cloud.rgb()
@@ -183,8 +220,7 @@ def _integrate_impl(argv=None) -> int:
             depth, rgb_img = organize_cloud(cfg, xyz.astype(np.float32), rgb)
             depth = np.asarray(depth)
             rgb_img = None if rgb_img is None else np.asarray(rgb_img)
-            if args.verbose:
-                print(f"Reprojection yielded {np.isfinite(depth).sum()} valid "
+            log.debug(f"Reprojection yielded {np.isfinite(depth).sum()} valid "
                       f"points, of initial {np.isfinite(xyz[:, 2]).sum()}")
         pose_rel = np.linalg.inv(poses[0]) @ pose  # integrate.cpp:650
         if args.cloud_only:
@@ -210,8 +246,20 @@ def _integrate_impl(argv=None) -> int:
             vol = integrate(vol, jnp.asarray(depth), jnp.asarray(pose_rel, jnp.float32),
                             None if (rgb_img is None or not args.color) else jnp.asarray(rgb_img))
         metrics.append(dict(frame=i, seconds=time.time() - t0))
+        if args.save_every and not args.cloud_only and (i + 1) % args.save_every == 0:
+            save_ckpt(i + 1)
+        if args.visualize_every and not args.cloud_only \
+                and (i + 1) % args.visualize_every == 0:
+            from .io.image import depth_to_u8, normals_to_u8, save_png
+            from .ops.raycast import render_view
 
-    os.makedirs(args.out_dir, exist_ok=True)
+            r = render_view(vol, jnp.asarray(pose_rel, jnp.float32))
+            save_png(os.path.join(args.out_dir, f"viz_{i:04d}_depth.png"),
+                     depth_to_u8(np.asarray(r.depth)))
+            save_png(os.path.join(args.out_dir, f"viz_{i:04d}_normals.png"),
+                     normals_to_u8(np.asarray(r.normals)))
+            log.info(f"Wrote viz_{i:04d}_*.png")
+
     if args.cloud_only:
         pts = np.concatenate(aggregate_pts, 0)
         rgbs = np.concatenate(aggregate_rgb, 0) if aggregate_rgb else None
@@ -222,7 +270,7 @@ def _integrate_impl(argv=None) -> int:
             fields["rgb"] = pcd_io.pack_rgb(rgbs)
         pcd_io.save_pcd(os.path.join(args.out_dir, "cloud.pcd"),
                         pcd_io.PointCloud(fields, len(pts), 1), mode="binary")
-        print(f"Saved to {args.out_dir}/cloud.pcd")
+        log.info(f"Saved to {args.out_dir}/cloud.pcd")
         return 0
 
     verts, faces, cols = extract_mesh(vol, min_weight=args.min_weight,
@@ -231,10 +279,10 @@ def _integrate_impl(argv=None) -> int:
         verts, faces, cols = flatten_vertices(verts, faces, cols)
     if args.cleanup:
         verts, faces, cols = cleanup_mesh(verts, faces, cols)
-    print(f"Entire pipeline took {(time.time() - t_start) * 1000.0:.1f} ms")
+    log.info(f"Entire pipeline took {(time.time() - t_start) * 1000.0:.1f} ms")
     mesh_path = os.path.join(args.out_dir, "mesh.ply")
     ply_io.save_ply(mesh_path, verts, faces, colors=cols, binary=not args.save_ascii)
-    print(f"Saved to {mesh_path}")
+    log.info(f"Saved to {mesh_path}")
     if args.save_tsdf:
         if args.tsdf_format == "vol":
             tsdf_path = os.path.join(args.out_dir, "volume.tsdf")
@@ -245,7 +293,7 @@ def _integrate_impl(argv=None) -> int:
         else:
             tsdf_path = os.path.join(args.out_dir, "volume.npz")
             save_checkpoint(tsdf_path, vol)
-        print(f"Saved full tsdf to {tsdf_path}")
+        log.info(f"Saved full tsdf to {tsdf_path}")
     if args.metrics_json:
         import json
 

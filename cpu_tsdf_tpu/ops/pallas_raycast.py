@@ -259,7 +259,7 @@ def build_pairs(pack: RenderPack, pose, downsample_by: int, pair_budget: int):
 # the kernel
 # ---------------------------------------------------------------------------
 
-def _make_pair_lookup(tab_ref, inv_scale):
+def _make_pair_lookup(tab_ref):
     """Chunked lookup into the int16-PAIR-packed table.
 
     Mosaic's ``tpu.dynamic_gather`` only lowers lane-wise at (8, 128) and only
@@ -276,6 +276,12 @@ def _make_pair_lookup(tab_ref, inv_scale):
                                (8, 128)) for c in range(nchunks)]
 
     def lookup_pair(fp):
+        """Returns the two packed int16 values sign-extended to int32.
+
+        Callers select between halves as INTEGERS and only then derive the
+        float value / NaN flag — Mosaic cannot lower selects between i1
+        vectors ("unsupported target bitwidth for truncation").
+        """
         hi = fp >> 7
         lo = fp & 127
         acc = jnp.zeros((8, 128), jnp.int32)
@@ -284,9 +290,7 @@ def _make_pair_lookup(tab_ref, inv_scale):
             acc = jnp.where(hi == c, part, acc)
         q0 = (acc << 16) >> 16          # arithmetic shifts sign-extend
         q1 = acc >> 16
-        return (q0.astype(jnp.float32) * inv_scale,
-                q1.astype(jnp.float32) * inv_scale,
-                q0 == NAN_Q, q1 == NAN_Q)
+        return q0, q1
 
     return lookup_pair
 
@@ -312,7 +316,9 @@ def _kernel(cfg: TSDFConfig, ds: int, TX: int, max_march: int, max_bt: int,
     first = meta_ref[k, 5]
     pair_valid = meta_ref[k, 6]
 
-    lookup_pair = _make_pair_lookup(tab_ref, 1.0 / _quant_scale(cfg))
+    lookup_pair = _make_pair_lookup(tab_ref)
+
+    inv_scale = 1.0 / _quant_scale(cfg)
 
     def nn_lookup(ix, iy, iz):
         """Nearest-voxel (value, unobserved) at table coords (clipped)."""
@@ -320,9 +326,9 @@ def _kernel(cfg: TSDFConfig, ds: int, TX: int, max_march: int, max_bt: int,
         ty = jnp.clip(iy + HALO, 0, TDIM - 1)
         tz = jnp.clip(iz + HALO, 0, TDIM - 1)
         fp = (((tx << 4) | ty) << 3) | (tz >> 1)
-        v0, v1, b0, b1 = lookup_pair(fp)
-        odd = (tz & 1) == 1
-        return jnp.where(odd, v1, v0), jnp.where(odd, b1, b0)
+        q0, q1 = lookup_pair(fp)
+        q = jnp.where((tz & 1) == 1, q1, q0)
+        return q.astype(jnp.float32) * inv_scale, q == NAN_Q
 
     def column2(lx_, ly_, lz_):
         """Corner values at local z, z+1 for one (x, y) column (2 lookups)."""
@@ -332,16 +338,16 @@ def _kernel(cfg: TSDFConfig, ds: int, TX: int, max_march: int, max_bt: int,
         tz1 = jnp.clip(lz_ + 1 + HALO, 0, TDIM - 1)
         base = ((tx << 4) | ty) << 3
         q0 = tz0 >> 1
-        av0, av1, ab0, ab1 = lookup_pair(base | q0)
-        bv0, bv1, bb0, bb1 = lookup_pair(base | jnp.minimum(q0 + 1, TDIM // 2 - 1))
+        a0_, a1_ = lookup_pair(base | q0)
+        b0_, b1_ = lookup_pair(base | jnp.minimum(q0 + 1, TDIM // 2 - 1))
         odd0 = (tz0 & 1) == 1
-        c0 = jnp.where(odd0, av1, av0)
-        n0 = jnp.where(odd0, ab1, ab0)
+        qc0 = jnp.where(odd0, a1_, a0_)
         from_a = (tz1 >> 1) == q0
         odd1 = (tz1 & 1) == 1
-        c1 = jnp.where(from_a, jnp.where(odd1, av1, av0), jnp.where(odd1, bv1, bv0))
-        n1 = jnp.where(from_a, jnp.where(odd1, ab1, ab0), jnp.where(odd1, bb1, bb0))
-        return (c0, c1), (n0, n1)
+        qc1 = jnp.where(from_a, jnp.where(odd1, a1_, a0_), jnp.where(odd1, b1_, b0_))
+        return ((qc0.astype(jnp.float32) * inv_scale,
+                 qc1.astype(jnp.float32) * inv_scale),
+                (qc0 == NAN_Q, qc1 == NAN_Q))
 
     def column4(lx_, ly_, lz_start):
         """Corner values at local z offsets 0..3 for one column (3 lookups)."""
@@ -357,15 +363,10 @@ def _kernel(cfg: TSDFConfig, ds: int, TX: int, max_march: int, max_bt: int,
             rel = tzs[o] - (qm << 1)
             pi = rel >> 1
             odd = (rel & 1) == 1
-
-            def sel(pr):
-                return jnp.where(odd, pr[1], pr[0]), jnp.where(odd, pr[3], pr[2])
-
-            v0_, b0_ = sel(pairs[0])
-            v1_, b1_ = sel(pairs[1])
-            v2_, b2_ = sel(pairs[2])
-            vals.append(jnp.where(pi == 0, v0_, jnp.where(pi == 1, v1_, v2_)))
-            bads.append(jnp.where(pi == 0, b0_, jnp.where(pi == 1, b1_, b2_)))
+            sel = [jnp.where(odd, pr[1], pr[0]) for pr in pairs]
+            q = jnp.where(pi == 0, sel[0], jnp.where(pi == 1, sel[1], sel[2]))
+            vals.append(q.astype(jnp.float32) * inv_scale)
+            bads.append(q == NAN_Q)
         return vals, bads
 
     p = lambda i: pose_ref[0, i]
@@ -716,20 +717,13 @@ def raycast_pairs(pack: RenderPack, meta, pose, downsample_by: int,
     return out
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5))
-def _render_pallas_jit(pack: RenderPack, pose, downsample_by: int,
-                       pair_budget: int, colored: bool, interpret: bool):
-    from ..bricks import gather_color
-    from ..geometry import voxel_index
-    from .color import color_to_rgb
-    from .raycast import assemble_view, camera_rays
-
+def _march_forward(pack: RenderPack, pose, downsample_by: int,
+                   pair_budget: int, interpret: bool):
+    """Kernel march -> flat per-ray channels (non-differentiable part)."""
     cfg = pack.config
     ds = downsample_by
     W, H = cfg.image_width // ds, cfg.image_height // ds
     TX, TY = -(-W // TILE_PX), -(-H // TILE_PX)
-    pose = jnp.asarray(pose, jnp.float32)
-
     meta, tile_hit, overflow = build_pairs(pack, pose, ds, pair_budget)
     out = raycast_pairs(pack, meta, pose, ds, pair_budget, interpret)
 
@@ -742,19 +736,140 @@ def _render_pallas_jit(pack: RenderPack, pose, downsample_by: int,
 
     tile_ok = jnp.repeat(jnp.repeat(tile_hit.reshape(TY, TX), TILE_PX, 0),
                          TILE_PX, 1)[:H, :W]
-    t_star = untile(1)
-    valid = (untile(2) > 0) & tile_ok
-    nvalid = (untile(3) > 0) & tile_ok
-    nx, ny, nz = untile(4), untile(5), untile(6)
+    ch = dict(
+        t_bt=untile(0).reshape(-1),
+        t_star=untile(1).reshape(-1),
+        valid=(untile(2) > 0) & tile_ok,
+        nvalid=(untile(3) > 0) & tile_ok,
+        nx=untile(4).reshape(-1), ny=untile(5).reshape(-1),
+        nz=untile(6).reshape(-1),
+    )
+    ch["valid"] = ch["valid"].reshape(-1)
+    ch["nvalid"] = ch["nvalid"].reshape(-1)
+    return ch, overflow
 
+
+def _phase3_xla(vol, pose, downsample_by: int, t_bt, found):
+    """Differentiable recomputation of the refinement + normals from the
+    kernel's bracket positions — mirrors ops/raycast.py phase 3 exactly, so
+    gradients through the Pallas renderer match the XLA renderer's."""
+    from .interpolate import tsdf_value_vol
+    from .raycast import camera_rays
+
+    cfg = vol.config
+    origins, dirs = camera_rays(cfg, pose, downsample_by)
+    ox, oy, oz = origins[:, 0], origins[:, 1], origins[:, 2]
+    dx, dy, dz = dirs[:, 0], dirs[:, 1], dirs[:, 2]
+    step = cfg.zsize / cfg.zres / 2.0
+    # mask BEFORE computing positions: where() does not block NaN gradients,
+    # and non-found rays carry the key sentinel (1e9) as t_bt
+    t = jax.lax.stop_gradient(jnp.where(found, t_bt, 1.0))
+    tprev = t - step
+
+    def tri(tq):
+        return tsdf_value_vol(vol, ox + tq * dx, oy + tq * dy, oz + tq * dz)
+
+    last_d_tri, _ = tri(tprev)
+    d_tri, _ = tri(t)
+    denom = last_d_tri - d_tri
+    # degenerate brackets would put ~1/denom^2 (inf in f32) into the
+    # gradient; exclude them from the differentiable set entirely
+    ok = found & (jnp.abs(denom) > 1e-6)
+    denom = jnp.where(ok, denom, 1.0)
+    t_star = t + step * (-1.0 + jnp.abs(last_d_tri / denom))
+    t_star = jnp.where(ok, t_star, jax.lax.stop_gradient(t))
+    hx = ox + t_star * dx
+    hy = oy + t_star * dy
+    hz = oz + t_star * dz
+    csx, csy, csz = cfg.cell_size
+    d_xm, _ = tsdf_value_vol(vol, hx - csx, hy, hz)
+    d_xp, _ = tsdf_value_vol(vol, hx + csx, hy, hz)
+    d_ym, _ = tsdf_value_vol(vol, hx, hy - csy, hz)
+    d_yp, _ = tsdf_value_vol(vol, hx, hy + csy, hz)
+    d_zm, _ = tsdf_value_vol(vol, hx, hy, hz - csz)
+    d_zp, _ = tsdf_value_vol(vol, hx, hy, hz + csz)
+    nx = (d_xp - d_xm) * cfg.max_dist_neg / (2 * csx)
+    ny = (d_yp - d_ym) * cfg.max_dist_neg / (2 * csy)
+    nz = (d_zp - d_zm) * cfg.max_dist_neg / (2 * csz)
+    nn2 = nx * nx + ny * ny + nz * nz
+    nn = jnp.sqrt(jnp.maximum(nn2, 1e-12))   # sqrt'(0) = inf otherwise
+    zero = jnp.zeros_like(t_star)
+    return dict(t_star=jnp.where(ok, t_star, zero),
+                nx=jnp.where(ok, nx / nn, zero),
+                ny=jnp.where(ok, ny / nn, zero),
+                nz=jnp.where(ok, nz / nn, zero))
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _march_diff(vol, pose, downsample_by, pair_budget, r_budget, interpret):
+    """Differentiable march: Pallas kernel forward, XLA phase-3 backward.
+
+    The crossing bracket is discrete (stop-gradient, like the XLA path); the
+    refinement t* and normals are smooth functions of the SDF field and pose,
+    recomputed differentiably in the backward pass from the saved brackets
+    (the custom-VJP pattern for the north-star differentiability surface,
+    SURVEY §7 M3/M4)."""
+    pack = make_render_pack(vol, r_budget)
+    ch, overflow = _march_forward(pack, pose, downsample_by, pair_budget,
+                                  interpret)
+    return ch, overflow
+
+
+def _march_diff_fwd(vol, pose, downsample_by, pair_budget, r_budget, interpret):
+    out = _march_diff(vol, pose, downsample_by, pair_budget, r_budget, interpret)
+    ch, _ = out
+    found = ch["t_bt"] < 1e8
+    return out, (vol, pose, ch["t_bt"], found)
+
+
+def _march_diff_bwd(downsample_by, pair_budget, r_budget, interpret, res, ct):
+    vol, pose, t_bt, found = res
+    ct_ch, _ = ct
+
+    def f(vol_, pose_):
+        return _phase3_xla(vol_, pose_, downsample_by, t_bt, found)
+
+    _, vjp = jax.vjp(f, vol, pose)
+    zero = jnp.zeros_like(t_bt)
+
+    def g(name):
+        c = ct_ch.get(name)
+        return zero if c is None else jnp.where(found, c, 0.0)
+
+    d_vol, d_pose = vjp(dict(t_star=g("t_star"), nx=g("nx"), ny=g("ny"),
+                             nz=g("nz")))
+    return d_vol, d_pose
+
+
+_march_diff.defvjp(_march_diff_fwd, _march_diff_bwd)
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _render_pallas_jit(pack: RenderPack, pose, downsample_by: int,
+                       pair_budget: int, colored: bool, interpret: bool):
+    pose = jnp.asarray(pose, jnp.float32)
+    ch, overflow = _march_forward(pack, pose, downsample_by, pair_budget,
+                                  interpret)
+    return _assemble_from_channels(pack, pose, downsample_by, colored, ch), overflow
+
+
+def _assemble_from_channels(pack, pose, downsample_by, colored, ch):
+    from ..bricks import gather_color
+    from ..geometry import voxel_index
+    from .color import color_to_rgb
+    from .raycast import assemble_view, camera_rays
+
+    cfg = pack.config
+    ds = downsample_by
+    W, H = cfg.image_width // ds, cfg.image_height // ds
     origins, dirs = camera_rays(cfg, pose, ds)
-    tsf = t_star.reshape(-1)
+    tsf = ch["t_star"]
     r = dict(
         hit_x=origins[:, 0] + tsf * dirs[:, 0],
         hit_y=origins[:, 1] + tsf * dirs[:, 1],
         hit_z=origins[:, 2] + tsf * dirs[:, 2],
-        normal_x=nx.reshape(-1), normal_y=ny.reshape(-1), normal_z=nz.reshape(-1),
-        t_star=tsf, valid=valid.reshape(-1), normal_valid=nvalid.reshape(-1),
+        normal_x=ch["nx"], normal_y=ch["ny"], normal_z=ch["nz"],
+        t_star=tsf, valid=ch["valid"], normal_valid=ch["nvalid"],
     )
     if colored and pack.color is not None:
         ix, iy, iz, okc = voxel_index(pack.config, r["hit_x"], r["hit_y"], r["hit_z"])
@@ -762,7 +877,33 @@ def _render_pallas_jit(pack: RenderPack, pose, downsample_by: int,
         rr, gg, bb = color_to_rgb(cfg.color_mode, vox_cols)
         r["rgb_r"], r["rgb_g"], r["rgb_b"] = rr, gg, bb
         r["rgb_valid"] = okc & r["valid"]
-    return assemble_view(cfg, pose, r, H, W), overflow
+    return assemble_view(cfg, pose, r, H, W)
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def render_depth_pallas_diff(vol, pose, downsample_by: int = 1,
+                             pair_budget: int = 16384, r_budget: int = 4096,
+                             interpret: bool = False):
+    """Differentiable Pallas render: (depth [H, W], valid) with gradients
+    w.r.t. the brick volume's SDF/weights and the camera pose flowing through
+    the custom VJP (kernel forward, XLA refinement backward)."""
+    from ..geometry import rigid_inverse, transform_points
+    from .raycast import camera_rays
+
+    pose = jnp.asarray(pose, jnp.float32)
+    ch, overflow = _march_diff(vol, pose, downsample_by, pair_budget,
+                               r_budget, interpret)
+    cfg = vol.config
+    ds = downsample_by
+    W, H = cfg.image_width // ds, cfg.image_height // ds
+    origins, dirs = camera_rays(cfg, pose, ds)
+    hx = origins[:, 0] + ch["t_star"] * dirs[:, 0]
+    hy = origins[:, 1] + ch["t_star"] * dirs[:, 1]
+    hz = origins[:, 2] + ch["t_star"] * dirs[:, 2]
+    pose_inv = rigid_inverse(pose)
+    _, _, depth_cam = transform_points(pose_inv, hx, hy, hz)
+    return (jnp.where(ch["valid"], depth_cam, jnp.nan).reshape(H, W),
+            ch["valid"].reshape(H, W))
 
 
 def render_view_pallas(vol, pose, downsample_by: int = 1, colored: bool = False,

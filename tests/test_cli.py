@@ -156,3 +156,29 @@ def test_integrate_sparse(tmp_path):
     from cpu_tsdf_tpu.io.checkpoint import load_any
     vol = load_any(os.path.join(out_dir, "volume.npz"))
     assert int(vol.n_active) > 0
+
+
+def test_resume_and_visualize(tmp_path):
+    """--save-every + --resume continue an interrupted run to the same result;
+    --visualize-every writes headless depth/normal PNG dumps."""
+    in_dir, out_a, out_b = str(tmp_path / "in"), str(tmp_path / "a"), str(tmp_path / "b")
+    _write_sequence(in_dir, n_frames=3)
+    base = _common_args(in_dir, out_a)
+    rc = integrate_main(base + ["--visualize-every", "2"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out_a, "viz_0001_depth.png"))
+    assert os.path.exists(os.path.join(out_a, "viz_0001_normals.png"))
+    with open(os.path.join(out_a, "viz_0001_depth.png"), "rb") as f:
+        assert f.read(8) == b"\x89PNG\r\n\x1a\n"
+
+    # run frames 1-2 with checkpointing, then resume for frame 3
+    rc = integrate_main(_common_args(in_dir, out_b)
+                        + ["--num-frames", "2", "--save-every", "1"])
+    assert rc == 0
+    rc = integrate_main(_common_args(in_dir, out_b) + ["--resume"])
+    assert rc == 0
+    va, _, _ = ply_io.load_ply(os.path.join(out_a, "mesh.ply"))
+    vb, _, _ = ply_io.load_ply(os.path.join(out_b, "mesh.ply"))
+    assert len(va) == len(vb)
+    np.testing.assert_allclose(np.sort(va.reshape(-1)), np.sort(vb.reshape(-1)),
+                               atol=1e-5)
