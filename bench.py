@@ -90,6 +90,17 @@ def tilted_pose():
 def main():
     profile = "--profile" in sys.argv
     full = os.environ.get("BENCH_FULL") == "1" or "--full" in sys.argv
+    if "--scaling" in sys.argv:
+        # own process: virtual-device mesh needs XLA_FLAGS before jax import
+        env = dict(os.environ,
+                   XLA_FLAGS="--xla_force_host_platform_device_count=8")
+        out = subprocess.run([sys.executable,
+                              os.path.join(REPO, "bench", "scaling_bench.py")],
+                             env=env, timeout=1800, capture_output=True,
+                             text=True)
+        sys.stderr.write(out.stderr)
+        print(out.stdout, end="", flush=True)
+        return out.returncode
     baseline = measure_baseline()
     log(f"baseline: {baseline}")
 

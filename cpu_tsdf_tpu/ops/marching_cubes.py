@@ -54,14 +54,37 @@ class MeshSoup:
     overflowed: jnp.ndarray     # scalar bool: cube budget exceeded
 
     def to_numpy(self):
-        """Host-side compaction to (V[N*3,3], F[N,3], C or None)."""
-        valid = np.asarray(self.tri_valid)
-        verts = np.asarray(self.vertices)[valid].reshape(-1, 3)
+        """Compact to (V[N*3,3], F[N,3], C or None).
+
+        Compaction happens ON DEVICE (cumsum-rank scatter) so only the real
+        triangles cross the host link — the full fixed-budget buffers are
+        tens of MB and device->host bandwidth through the TPU tunnel is the
+        bottleneck of extraction otherwise."""
+        n = int(self.num_triangles)
+        if n == 0:
+            return (np.zeros((0, 3), np.float32),
+                    np.zeros((0, 3), np.int32),
+                    None if self.colors is None else np.zeros((0, 3), np.float32))
+        budget = 1 << int(np.ceil(np.log2(n)))
+        v, c = _compact_soup(self, budget)
+        verts = np.asarray(v)[:n].reshape(-1, 3)
         faces = np.arange(len(verts), dtype=np.int32).reshape(-1, 3)
-        cols = None
-        if self.colors is not None:
-            cols = np.asarray(self.colors)[valid].reshape(-1, 3)
+        cols = None if c is None else np.asarray(c)[:n].reshape(-1, 3)
         return verts, faces, cols
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _compact_soup(soup: "MeshSoup", budget: int):
+    valid = soup.tri_valid.astype(jnp.int32)
+    rank = jnp.cumsum(valid) - 1
+    tgt = jnp.where((valid > 0) & (rank < budget), rank, budget)
+    verts = jnp.zeros((budget + 1, 3, 3), jnp.float32).at[tgt].set(
+        soup.vertices, mode="drop", unique_indices=True)[:budget]
+    cols = None
+    if soup.colors is not None:
+        cols = jnp.zeros((budget + 1, 3, 3), jnp.float32).at[tgt].set(
+            soup.colors, mode="drop", unique_indices=True)[:budget]
+    return verts, cols
 
 
 def _corner_grids(vol: TSDFVolume):
@@ -188,10 +211,13 @@ def _emit_soup(cfg, global_transform, ci, cj, ck, vals, cube_ok, center_rgb,
     N = vals.shape[0]
     M = MAX_TRIS_PER_CUBE
     edge_ids = jnp.maximum(entries, 0).reshape(N, M, 3)     # [N, M, 3]
-    tri_verts = jnp.take_along_axis(
-        edge_pts[:, None, :, :].repeat(M, axis=1).reshape(N * M, 12, 3),
-        edge_ids.reshape(N * M, 3)[:, :, None].repeat(3, axis=2), axis=1,
-    ).reshape(N, M, 3, 3)
+    # emit per triangle slot: avoids materializing [N*M, 12, 3] repeats
+    # (40 GB at a 2048-brick chunk before this fix)
+    tri_verts = jnp.stack([
+        jnp.take_along_axis(
+            edge_pts, jnp.broadcast_to(edge_ids[:, m, :, None], (N, 3, 3)),
+            axis=1)
+        for m in range(M)], axis=1)                          # [N, M, 3, 3]
     slot = jnp.arange(M, dtype=jnp.int32)[None, :]
     tri_valid = (slot < ntris[:, None]).reshape(N * M)
     vertices = tri_verts.reshape(N * M, 3, 3)
@@ -311,24 +337,27 @@ def _marching_cubes_brick_chunk(bv, slot0, n_slots: int, min_weight: float,
 def extract_mesh_bricks(bv, min_weight: float = DEFAULT_MIN_WEIGHT,
                         color_by_rgb: bool = False,
                         color_by_confidence: bool = False,
-                        chunk_slots: int = 2048):
+                        chunk_slots: int = 256):
     """Host-level brick-native extraction: chunks over allocated bricks and
     assembles the triangle soup on the host (no dense materialization, so it
     scales to volumes whose dense form would not fit in HBM)."""
     chunk_slots = min(chunk_slots, bv.capacity)
     live = np.asarray(bv.coords)[:, 0] >= 0
-    all_v, all_c = [], []
     starts = [s0 for s0 in range(0, bv.capacity, chunk_slots)
               if live[s0:s0 + chunk_slots].any()] or [0]
-    for s0 in starts:
-        soup = _marching_cubes_brick_chunk(
-            bv, jnp.int32(s0), chunk_slots, min_weight,
-            color_by_rgb, color_by_confidence)
-        v, f, c = soup.to_numpy()
-        all_v.append(v)
-        if c is not None:
-            all_c.append(c)
-    verts = np.concatenate(all_v, 0) if all_v else np.zeros((0, 3), np.float32)
-    faces = np.arange(len(verts), dtype=np.int32).reshape(-1, 3)
-    cols = np.concatenate(all_c, 0) if all_c else None
+    # keep every chunk's soup ON DEVICE and compact once at the end: per-chunk
+    # scalar readbacks + transfers through the TPU tunnel dominate otherwise
+    soups = [_marching_cubes_brick_chunk(bv, jnp.int32(s0), chunk_slots,
+                                         min_weight, color_by_rgb,
+                                         color_by_confidence)
+             for s0 in starts]
+    merged = MeshSoup(
+        vertices=jnp.concatenate([sp.vertices for sp in soups], 0),
+        colors=(None if soups[0].colors is None
+                else jnp.concatenate([sp.colors for sp in soups], 0)),
+        tri_valid=jnp.concatenate([sp.tri_valid for sp in soups], 0),
+        num_triangles=sum(sp.num_triangles for sp in soups),
+        overflowed=jnp.asarray(False),
+    )
+    verts, faces, cols = merged.to_numpy()
     return verts, faces, cols

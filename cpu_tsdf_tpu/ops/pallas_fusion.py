@@ -265,5 +265,10 @@ def fuse_bricks_inplace(cfg: TSDFConfig, B: int, meta, pose_inv_flat, sdf,
               M.reshape(C, S, L), nsample.reshape(C, S, L))
     for s in range(0, K, MAX_BRICKS_PER_CALL):
         e = min(s + MAX_BRICKS_PER_CALL, K)
-        arrays = run_chunk(meta[s:e], arrays)
+        mc = meta[s:e]
+        # the active list is rank-compacted (actives form a prefix), so
+        # trailing padding-only chunks skip the kernel entirely
+        arrays = jax.lax.cond(jnp.any(mc[:, 4] > 0),
+                              lambda a, m=mc: run_chunk(m, a),
+                              lambda a: a, arrays)
     return tuple(a.reshape(C, V) for a in arrays)

@@ -713,7 +713,12 @@ def raycast_pairs(pack: RenderPack, meta, pose, downsample_by: int,
         # first-visit flags are per-CHUNK (each chunk re-seeds its tiles
         # from the carried buffer)
         fc = jnp.concatenate([jnp.ones((1,), bool), mc[1:, 1] != mc[:-1, 1]])
-        out = run_chunk(mc.at[:, 5].set(fc.astype(jnp.int32)), out)
+        mc = mc.at[:, 5].set(fc.astype(jnp.int32))
+        # pairs are tile-sorted with padding (tile = T) last: chunks that are
+        # all padding skip the kernel
+        out = jax.lax.cond(jnp.any(mc[:, 6] > 0),
+                           lambda o, m=mc: run_chunk(m, o),
+                           lambda o: o, out)
     return out
 
 

@@ -89,12 +89,59 @@ def integrate_sharded(vol: TSDFVolume, depth, pose, rgb=None) -> TSDFVolume:
     return integrate(vol, depth, pose, rgb)
 
 
+def replicate_render_pack(vol, mesh: Mesh):
+    """Pack + replicate a volume once for repeated sharded renders."""
+    from ..bricks import PackedRenderVolume, pack_render
+
+    if not isinstance(vol, PackedRenderVolume):
+        vol = pack_render(vol)
+    rep = NamedSharding(mesh, P())
+    return jax.tree.map(lambda a: jax.device_put(a, rep), vol)
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_march(mesh: Mesh, max_steps: int, colored: bool):
+    """Cached jitted sharded march (a fresh inline jit would recompile per
+    render call).
+
+    shard_map (not bare jit): the march's lockstep while_loop terminates on
+    an all-rays-done reduction, which GSPMD would turn into a cross-device
+    collective EVERY iteration; per-device loops with local termination
+    march independently, which is the whole point of ray sharding."""
+    from jax import shard_map
+
+    from ..ops.raycast import render_rays
+
+    @jax.jit
+    def run(vol_in, o, d):
+        def body(vol_l, o_l, d_l):
+            return render_rays(vol_l, o_l, d_l, max_steps=max_steps,
+                               colored=colored)
+
+        vol_spec = jax.tree.map(lambda _: P(), vol_in)
+        return shard_map(
+            body, mesh=mesh,
+            in_specs=(vol_spec, P(AXIS, None), P(AXIS, None)),
+            out_specs=P(AXIS),
+            # no collectives inside; the varying-axis check trips on the
+            # march state being initialized from unvarying constants
+            check_vma=False,
+        )(vol_in, o, d)
+
+    return run
+
+
 def render_view_sharded(vol: TSDFVolume, pose, mesh: Mesh, downsample_by: int = 1,
                         max_steps: int = 512, colored: bool = False):
     """Render with rays sharded across the mesh and the volume replicated.
 
     Rays are padded to a multiple of the mesh size and sharded on the ray
-    axis; the march is embarrassingly parallel per ray.
+    axis; the march is embarrassingly parallel per ray. Pass a prebuilt
+    :func:`replicate_render_pack` result to amortize packing + replication
+    across renders of the same volume state.
     """
     from ..bricks import PackedRenderVolume, pack_render
     from ..ops.raycast import assemble_view, camera_rays, render_rays
@@ -122,12 +169,8 @@ def render_view_sharded(vol: TSDFVolume, pose, mesh: Mesh, downsample_by: int = 
     rep = NamedSharding(mesh, P())
     vol_r = jax.tree.map(lambda a: jax.device_put(a, rep), vol)
 
-    @jax.jit
-    def run(vol_in, o, d, pose_in):
-        r = render_rays(vol_in, o, d, max_steps=max_steps, colored=colored)
-        return r
-
-    r = run(vol_r, origins, dirs, pose)
+    run = _sharded_march(mesh, max_steps, colored)
+    r = run(vol_r, origins, dirs)
     if pad:
         r = {k: v[:N] for k, v in r.items()}
     return assemble_view(cfg, pose, r, H, W)
