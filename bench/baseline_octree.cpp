@@ -201,6 +201,143 @@ struct Tsdf {
   }
 };
 
+// ---------------------------------------------------------------------------
+// Marching cubes over the octree leaves — the reference's
+// MarchingCubesTSDFOctree::createSurface path (recursive leaf walk + per-cube
+// corner queries + case-table triangulation,
+// /root/reference/src/lib/marching_cubes_tsdf_octree.cpp:108-236). Tables are
+// built at runtime with the same face-tracing construction as the framework's
+// cpu_tsdf_tpu/ops/mc_tables.py so triangle SETS are comparable.
+// ---------------------------------------------------------------------------
+
+struct MCTables {
+  int8_t tri[256][16];  // flat edge triples, -1 padded
+  int cnt[256];
+  // corner i offset: x=(i&1)^((i>>1)&1), y=(i>>2)&1, z=(i>>1)&1 (PCL order)
+  int off[8][3];
+  int edge[12][2] = {{0, 1}, {1, 2}, {2, 3}, {3, 0}, {4, 5}, {5, 6},
+                     {6, 7}, {7, 4}, {0, 4}, {1, 5}, {2, 6}, {3, 7}};
+  int faces[6][4] = {{0, 1, 2, 3}, {4, 7, 6, 5}, {0, 3, 7, 4},
+                     {1, 5, 6, 2}, {0, 4, 5, 1}, {3, 2, 6, 7}};
+
+  MCTables() {
+    for (int i = 0; i < 8; ++i) {
+      off[i][0] = (i & 1) ^ ((i >> 1) & 1);
+      off[i][1] = (i >> 2) & 1;
+      off[i][2] = (i >> 1) & 1;
+    }
+    int edge_of[8][8];
+    for (int e = 0; e < 12; ++e) {
+      edge_of[edge[e][0]][edge[e][1]] = e;
+      edge_of[edge[e][1]][edge[e][0]] = e;
+    }
+    for (int code = 0; code < 256; ++code) {
+      bool in[8];
+      for (int i = 0; i < 8; ++i) in[i] = (code >> i) & 1;
+      int succ[12];
+      bool has[12] = {false};
+      for (int f = 0; f < 6; ++f) {
+        const int* fc = faces[f];
+        int nin = in[fc[0]] + in[fc[1]] + in[fc[2]] + in[fc[3]];
+        if (nin == 0 || nin == 4) continue;
+        for (int k = 0; k < 4; ++k) {
+          int a = fc[k], b = fc[(k + 1) % 4];
+          if (!in[a] && in[b]) {
+            int e_in = edge_of[a][b];
+            int m = (k + 1) % 4;
+            while (in[fc[(m + 1) % 4]]) m = (m + 1) % 4;
+            int e_out = edge_of[fc[m]][fc[(m + 1) % 4]];
+            succ[e_in] = e_out;
+            has[e_in] = true;
+          }
+        }
+      }
+      int n = 0;
+      bool visited[12] = {false};
+      for (int s = 0; s < 12; ++s) {
+        if (!has[s] || visited[s]) continue;
+        int loop[12], len = 0, cur = s;
+        do {
+          loop[len++] = cur;
+          visited[cur] = true;
+          cur = succ[cur];
+        } while (cur != s);
+        for (int k = 1; k + 1 < len; ++k) {
+          tri[code][n++] = (int8_t)loop[0];
+          tri[code][n++] = (int8_t)loop[k];
+          tri[code][n++] = (int8_t)loop[k + 1];
+        }
+      }
+      cnt[code] = n / 3;
+      for (; n < 16; ++n) tri[code][n] = -1;
+    }
+  }
+};
+
+static void collectLeaves(Node* n, float finest, float min_w,
+                          std::vector<Node*>& out) {
+  if (!n->hasChildren()) {
+    if (n->size <= finest * 1.001f && n->w >= min_w && std::fabs(n->d) < 1.f)
+      out.push_back(n);
+    return;
+  }
+  for (auto& c : n->children) collectLeaves(c.get(), finest, min_w, out);
+}
+
+// returns triangles appended to verts (9 floats each); parallel over leaves
+// (generous to the baseline: the reference's createSurface is serial)
+static long long marchingCubes(Tsdf& tsdf, const MCTables& T, float min_w,
+                               std::vector<float>& verts) {
+  const Config& cfg = tsdf.cfg;
+  float cell = cfg.size / cfg.res;
+  float half = cfg.size / 2;
+  std::vector<Node*> leaves;
+  collectLeaves(tsdf.root.get(), cell, min_w, leaves);
+  long long ntris = 0;
+#pragma omp parallel
+  {
+    std::vector<float> local;
+#pragma omp for schedule(dynamic, 64) reduction(+ : ntris)
+    for (size_t i = 0; i < leaves.size(); ++i) {
+      Node* n = leaves[i];
+      // interior-only, like the reference (cpp:199-202)
+      float gx = (n->cx + half) / cell, gy = (n->cy + half) / cell,
+            gz = (n->cz + half) / cell;
+      if (gx < 1 || gx >= cfg.res - 2 || gy < 1 || gy >= cfg.res - 2 ||
+          gz < 1 || gz >= cfg.res - 2)
+        continue;
+      float vals[8];
+      float px[8], py[8], pz[8];
+      bool ok = true, any_neg = false, any_pos = false;
+      for (int c = 0; c < 8 && ok; ++c) {
+        px[c] = n->cx + T.off[c][0] * cell;
+        py[c] = n->cy + T.off[c][1] * cell;
+        pz[c] = n->cz + T.off[c][2] * cell;
+        Node* v = tsdf.containing(px[c], py[c], pz[c]);
+        if (!v || v->w < min_w || std::fabs(v->d) >= 1.f) { ok = false; break; }
+        vals[c] = v->d * cfg.max_dist_neg;
+        (vals[c] < 0 ? any_neg : any_pos) = true;
+      }
+      if (!ok || !any_neg || !any_pos) continue;
+      int code = 0;
+      for (int c = 0; c < 8; ++c) code |= (vals[c] < 0) << c;
+      ntris += T.cnt[code];
+      for (int k = 0; k < T.cnt[code] * 3; ++k) {
+        int e = T.tri[code][k];
+        int a = T.edge[e][0], b = T.edge[e][1];
+        float denom = vals[b] - vals[a];
+        float mu = denom == 0 ? 0.5f : (0.f - vals[a]) / denom;
+        local.push_back(px[a] + mu * (px[b] - px[a]));
+        local.push_back(py[a] + mu * (py[b] - py[a]));
+        local.push_back(pz[a] + mu * (pz[b] - pz[a]));
+      }
+    }
+#pragma omp critical
+    verts.insert(verts.end(), local.begin(), local.end());
+  }
+  return ntris;
+}
+
 int main(int argc, char** argv) {
   Config cfg;
   if (argc > 1) cfg.res = atoi(argv[1]);
@@ -243,5 +380,19 @@ int main(int argc, char** argv) {
   dt = std::chrono::duration<double>(t1 - t0).count();
   printf("raycast: rays/s=%.3e steps/s=%.3e\n",
          (double)cfg.W * cfg.H * passes / dt, (double)steps / dt);
+
+  // marching cubes (min_weight matching the framework bench: 0.5)
+  MCTables T;
+  long long tris = 0;
+  std::vector<float> verts;
+  t0 = std::chrono::steady_clock::now();
+  int mc_passes = 3;
+  for (int p = 0; p < mc_passes; ++p) {
+    verts.clear();
+    tris = marchingCubes(tsdf, T, 0.5f, verts);
+  }
+  t1 = std::chrono::steady_clock::now();
+  dt = std::chrono::duration<double>(t1 - t0).count() / mc_passes;
+  printf("mc: tris=%lld time=%.3fs tris/s=%.3e\n", tris, dt, (double)tris / dt);
   return 0;
 }

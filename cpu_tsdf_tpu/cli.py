@@ -175,11 +175,19 @@ def _integrate_impl(argv=None) -> int:
     ckpt_path = os.path.join(args.out_dir, "checkpoint.npz")
     state_path = os.path.join(args.out_dir, "checkpoint.json")
     start_frame = 0
-    if args.resume and os.path.exists(ckpt_path) and os.path.exists(state_path):
+    if args.resume and os.path.exists(ckpt_path):
         import json as _json
 
-        with open(state_path) as f:
-            start_frame = int(_json.load(f)["next_frame"])
+        from .io.checkpoint import checkpoint_meta
+
+        # next_frame lives INSIDE the npz (crash-atomic with the arrays);
+        # the sidecar json is a readable mirror and legacy fallback only
+        meta = checkpoint_meta(ckpt_path)
+        if "next_frame" in meta:
+            start_frame = int(meta["next_frame"])
+        elif os.path.exists(state_path):
+            with open(state_path) as f:
+                start_frame = int(_json.load(f)["next_frame"])
         vol = load_any(ckpt_path)
         if isinstance(vol, BrickVolume):
             args.sparse = True
@@ -190,9 +198,11 @@ def _integrate_impl(argv=None) -> int:
     def save_ckpt(next_frame):
         import json as _json
 
-        save_checkpoint(ckpt_path, vol)
-        with open(state_path, "w") as f:
+        save_checkpoint(ckpt_path, vol, {"next_frame": next_frame})
+        tmp = state_path + ".tmp"
+        with open(tmp, "w") as f:
             _json.dump({"next_frame": next_frame}, f)
+        os.replace(tmp, state_path)
         log.info(f"Checkpointed {ckpt_path} (next frame {next_frame + 1})")
 
     for i in range(start_frame, num_frames):

@@ -9,6 +9,7 @@ default (orders of magnitude faster, preserves color channels exactly).
 from __future__ import annotations
 
 import json
+import os
 
 import jax.numpy as jnp
 import numpy as np
@@ -19,8 +20,14 @@ from ..volume import TSDFVolume
 FORMAT_VERSION = 1
 
 
-def save_checkpoint(path: str, vol) -> None:
-    """Save a dense TSDFVolume or a sparse BrickVolume (kind recorded)."""
+def save_checkpoint(path: str, vol, extra_meta: dict | None = None) -> None:
+    """Save a dense TSDFVolume or a sparse BrickVolume (kind recorded).
+
+    The write is crash-atomic: arrays stream to a temp file in the same
+    directory, then `os.replace` installs it — a crash mid-write leaves the
+    previous checkpoint intact. `extra_meta` (e.g. the resume frame counter)
+    is embedded in the npz itself so state can never diverge from data.
+    """
     from ..bricks import BrickVolume
 
     arrays = dict(
@@ -33,6 +40,8 @@ def save_checkpoint(path: str, vol) -> None:
     if vol.color is not None:
         arrays["color"] = np.asarray(vol.color)
     meta = dict(version=FORMAT_VERSION, config=json.loads(vol.config.to_json()))
+    if extra_meta:
+        meta.update(extra_meta)
     if isinstance(vol, BrickVolume):
         meta.update(kind="brick", brick_size=vol.brick_size, capacity=vol.capacity)
         arrays.update(brick_map=np.asarray(vol.brick_map),
@@ -41,8 +50,20 @@ def save_checkpoint(path: str, vol) -> None:
                       overflowed=np.asarray(vol.overflowed))
     else:
         meta.update(kind="dense")
-    np.savez_compressed(path, __meta__=np.frombuffer(
-        json.dumps(meta).encode(), dtype=np.uint8), **arrays)
+    tmp = path + ".tmp.npz"
+    try:
+        np.savez_compressed(tmp, __meta__=np.frombuffer(
+            json.dumps(meta).encode(), dtype=np.uint8), **arrays)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+
+
+def checkpoint_meta(path: str) -> dict:
+    """Read only the embedded metadata of a native checkpoint."""
+    with np.load(path) as z:
+        return json.loads(bytes(z["__meta__"]).decode())
 
 
 def load_checkpoint(path: str):

@@ -68,7 +68,8 @@ class RenderPack:
 
     tables: jnp.ndarray      # int32 [R, 1, PTABLE] haloed SDF, int16 z-pairs
     coords: jnp.ndarray      # int32 [R, 3] brick coords (-1 = unused row)
-    n_active: jnp.ndarray    # int32
+    n_active: jnp.ndarray    # int32 (count of used rows)
+    truncated: jnp.ndarray   # bool: live bricks beyond r_budget were DROPPED
     global_transform: jnp.ndarray
     color: Optional[jnp.ndarray]          # brick color array (for colored render)
     brick_map: Optional[jnp.ndarray]      # for colored-render voxel lookups
@@ -101,8 +102,13 @@ def make_render_pack(vol, r_budget: int = 4096) -> RenderPack:
     rd = jnp.where(vol.weight > 0, vol.sdf, jnp.nan).reshape(C, B, B, B)
     rd_pad = jnp.concatenate([rd, jnp.full((1, B, B, B), jnp.nan)], 0)
 
+    # liveness comes from coords alone (unallocated rows are -1): volumes from
+    # merge_sharded have per-device slot GAPS, so n_active is not a bound.
+    # Row R-1 stays reserved as the all-NaN padding table.
     coords = vol.coords[:R]
-    used = (coords[:, 0] >= 0) & (jnp.arange(R) < jnp.minimum(vol.n_active, R - 1))
+    used = (coords[:, 0] >= 0) & (jnp.arange(R) < R - 1)
+    truncated = (jnp.any(vol.coords[R - 1:, 0] >= 0)
+                 if vol.capacity >= R else jnp.asarray(False))
     tab = jnp.full((R, TDIM, TDIM, TDIM), jnp.nan)
     bmap_flat = vol.brick_map.reshape(-1)
 
@@ -138,7 +144,8 @@ def make_render_pack(vol, r_budget: int = 4096) -> RenderPack:
     return RenderPack(
         tables=packed.reshape(R, 1, PTABLE),
         coords=jnp.where(used[:, None], coords, -1),
-        n_active=jnp.minimum(vol.n_active, R - 1),
+        n_active=jnp.sum(used.astype(jnp.int32)),
+        truncated=truncated,
         global_transform=vol.global_transform,
         color=vol.color,
         brick_map=vol.brick_map,
@@ -669,9 +676,10 @@ def raycast_pairs(pack: RenderPack, meta, pose, downsample_by: int,
     T = TX * TY
     cell_min = min(cfg.cell_size)
     # march budget: brick diagonal + overlap at >= cell/4 steps is the hard
-    # bound; adaptive steps make typical trips far shorter
+    # bound (no lower cap: the loop exits early when all lanes are done, and a
+    # capped budget could silently skip a crossing in a near-zero SDF brick)
     diag = math.sqrt(3.0) * 8 * max(cfg.cell_size) + 3 * cell_min
-    max_march = min(72, int(diag / (cell_min / 4.0)) + 8)
+    max_march = int(diag / (cell_min / 4.0)) + 8
     max_bt = int(cfg.max_dist_neg / (cfg.cell_size[2] / 2.0)) + 3
 
     pose = jnp.asarray(pose, jnp.float32)
@@ -730,6 +738,7 @@ def _march_forward(pack: RenderPack, pose, downsample_by: int,
     W, H = cfg.image_width // ds, cfg.image_height // ds
     TX, TY = -(-W // TILE_PX), -(-H // TILE_PX)
     meta, tile_hit, overflow = build_pairs(pack, pose, ds, pair_budget)
+    overflow |= pack.truncated      # dropped bricks -> wrong depths possible
     out = raycast_pairs(pack, meta, pose, ds, pair_budget, interpret)
 
     # un-tile [T+1, NCH, 8, 128] -> [H, W] per channel
@@ -889,9 +898,13 @@ def _assemble_from_channels(pack, pose, downsample_by, colored, ch):
 def render_depth_pallas_diff(vol, pose, downsample_by: int = 1,
                              pair_budget: int = 16384, r_budget: int = 4096,
                              interpret: bool = False):
-    """Differentiable Pallas render: (depth [H, W], valid) with gradients
-    w.r.t. the brick volume's SDF/weights and the camera pose flowing through
-    the custom VJP (kernel forward, XLA refinement backward)."""
+    """Differentiable Pallas render: (depth [H, W], valid [H, W], ok scalar)
+    with gradients w.r.t. the brick volume's SDF/weights and the camera pose
+    flowing through the custom VJP (kernel forward, XLA refinement backward).
+
+    `ok` is False when the render is UNTRUSTWORTHY: live bricks were dropped
+    beyond r_budget, or the pair list / tile footprint overflowed its budget.
+    Callers must check it (the kernel cannot silently fall back inside jit)."""
     from ..geometry import rigid_inverse, transform_points
     from .raycast import camera_rays
 
@@ -908,7 +921,7 @@ def render_depth_pallas_diff(vol, pose, downsample_by: int = 1,
     pose_inv = rigid_inverse(pose)
     _, _, depth_cam = transform_points(pose_inv, hx, hy, hz)
     return (jnp.where(ch["valid"], depth_cam, jnp.nan).reshape(H, W),
-            ch["valid"].reshape(H, W))
+            ch["valid"].reshape(H, W), ~overflow)
 
 
 def render_view_pallas(vol, pose, downsample_by: int = 1, colored: bool = False,
@@ -927,7 +940,10 @@ def render_view_pallas(vol, pose, downsample_by: int = 1, colored: bool = False,
     if not (isinstance(vol, BrickVolume) and vol.brick_size == 8):
         return render_view(vol, pose, downsample_by, colored=colored)
     if pack is None:
-        if int(vol.n_active) + 1 > r_budget:
+        # gap-aware budget check: the highest LIVE row decides (merge_sharded
+        # volumes have per-device slot gaps, so n_active is not a bound)
+        if vol.capacity >= r_budget and bool(
+                jnp.any(vol.coords[r_budget - 1:, 0] >= 0)):
             return render_view(vol, pose, downsample_by, colored=colored)
         pack = make_render_pack(vol, r_budget)
     res, overflow = _render_pallas_jit(pack, jnp.asarray(pose, jnp.float32),

@@ -196,3 +196,19 @@ def test_num_random_splits_jitter(scene):
     obs = np.asarray(band1.weight) > 0
     np.testing.assert_array_equal(np.asarray(bandj.sdf)[obs],
                                   np.asarray(band1.sdf)[obs])
+
+
+def test_brick_extraction_budget_retry(scene):
+    """A too-small cube budget triggers the automatic doubling retry and
+    still produces the full mesh."""
+    from cpu_tsdf_tpu.ops.marching_cubes import extract_mesh_bricks
+
+    cfg, pose, depth = scene
+    bv = make_brick_volume(cfg, brick_size=8, capacity=2048)
+    bv = integrate_bricks(bv, jnp.asarray(depth), jnp.asarray(pose, jnp.float32))
+    v1, f1, _ = extract_mesh_bricks(bv, min_weight=0.5)
+    v2, f2, _ = extract_mesh_bricks(bv, min_weight=0.5, cube_budget=64)
+    assert len(f1) == len(f2) > 100
+    s1 = set(map(tuple, np.round(v1 * 1e6).astype(np.int64)))
+    s2 = set(map(tuple, np.round(v2 * 1e6).astype(np.int64)))
+    assert s1 == s2

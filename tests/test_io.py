@@ -198,3 +198,24 @@ def test_load_any_dispatch(tmp_path, small_cfg):
     assert v2.config.resolution == v.config.resolution
     obs = np.asarray(v.weight) > 0
     np.testing.assert_allclose(np.asarray(v2.sdf)[obs], np.asarray(v.sdf)[obs], atol=1e-6)
+
+
+def test_checkpoint_atomic_and_meta(tmp_path, small_cfg):
+    """save_checkpoint embeds extra meta in the npz (crash-atomic with the
+    arrays — ADVICE r2) and leaves no temp files behind."""
+    import os
+
+    from cpu_tsdf_tpu.io.checkpoint import (checkpoint_meta, load_checkpoint,
+                                            save_checkpoint)
+    from cpu_tsdf_tpu.volume import make_volume
+
+    vol = make_volume(small_cfg)
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(path, vol, {"next_frame": 17})
+    assert checkpoint_meta(path)["next_frame"] == 17
+    assert [f for f in os.listdir(tmp_path) if "tmp" in f] == []
+    v2 = load_checkpoint(path)
+    assert v2.config == small_cfg
+    # overwrite path keeps the old file intact until replace
+    save_checkpoint(path, vol, {"next_frame": 18})
+    assert checkpoint_meta(path)["next_frame"] == 18

@@ -147,7 +147,7 @@ def test_kernel_custom_vjp_gradients(scene):
     def mean_depth(sdf, tz):
         v2 = dataclasses.replace(bv, sdf=sdf)
         p2 = pose.at[2, 3].add(tz)
-        d, valid = render_depth_pallas_diff(v2, p2, 1, 4096, 1024, True)
+        d, valid, _ok = render_depth_pallas_diff(v2, p2, 1, 4096, 1024, True)
         return jnp.sum(jnp.where(valid, d, 0.0)) / jnp.maximum(jnp.sum(valid), 1)
 
     (g_sdf, g_tz) = jax.grad(mean_depth, argnums=(0, 1))(bv.sdf, 0.0)
@@ -162,3 +162,49 @@ def test_kernel_custom_vjp_gradients(scene):
     fd = (f1 - f0) / (2 * eps)
     assert abs(fd - float(g_tz)) < 0.25 * max(abs(fd), abs(float(g_tz)), 1e-3), \
         (fd, float(g_tz))
+
+
+def test_pack_handles_gapped_slots(scene):
+    """make_render_pack must key liveness off coords, not a slot prefix:
+    merge_sharded volumes carry per-device slot GAPS (global slot =
+    dev * C_local + local). A gap-shifted clone must render identically."""
+    import dataclasses
+
+    cfg, bv, pose, depth = scene
+    G = 7  # shift every live slot up by G, leaving a dead gap at the front
+
+    def shift_rows(a):
+        return jnp.concatenate([jnp.zeros((G,) + a.shape[1:], a.dtype),
+                                a[:-G]], 0)
+
+    gapped = dataclasses.replace(
+        bv,
+        brick_map=jnp.where(bv.brick_map >= 0, bv.brick_map + G, -1),
+        coords=jnp.concatenate([jnp.full((G, 3), -1, jnp.int32),
+                                bv.coords[:-G]], 0),
+        sdf=shift_rows(bv.sdf), weight=shift_rows(bv.weight),
+        M=shift_rows(bv.M), nsample=shift_rows(bv.nsample),
+        color=None if bv.color is None else shift_rows(bv.color),
+    )
+    p0 = make_render_pack(bv, 1024)
+    p1 = make_render_pack(gapped, 1024)
+    # same table content, shifted by G rows
+    t0 = np.asarray(p0.tables)
+    t1 = np.asarray(p1.tables)
+    n = int(bv.n_active)
+    np.testing.assert_array_equal(t0[:n], t1[G:G + n])
+    assert not bool(p0.truncated) and not bool(p1.truncated)
+    # truncation flag trips when live bricks exceed the budget
+    r_small = 16
+    assert bool(make_render_pack(bv, r_small).truncated)
+
+
+def test_diff_render_reports_overflow(scene):
+    """render_depth_pallas_diff returns ok=False when bricks were dropped
+    beyond r_budget (ADVICE r2: silent truncation made gradients wrong)."""
+    cfg, bv, pose, depth = scene
+    from cpu_tsdf_tpu.ops.pallas_raycast import render_depth_pallas_diff
+
+    d, valid, ok = render_depth_pallas_diff(bv, jnp.asarray(pose, jnp.float32),
+                                            4, 4096, 16, True)
+    assert not bool(ok)
