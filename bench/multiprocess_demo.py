@@ -1,0 +1,103 @@
+"""Multi-process sharded integrate demo: real jax.distributed, CPU backend.
+
+Coordinator mode (no args): spawns N worker copies of itself, waits, checks
+that every process computed the identical global checksum.
+Worker mode:  multiprocess_demo.py <proc_id> <nproc> <port>
+
+Each worker initializes jax.distributed, builds a GLOBAL 1D mesh over every
+process's CPU devices, integrates one synthetic frame into a slab-sharded
+brick volume (zero collectives), and prints the replicated global checksum.
+"""
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def worker(proc_id: int, nproc: int, port: str) -> int:
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+
+    from cpu_tsdf_tpu.parallel import distributed as dist
+
+    assert dist.initialize(f"localhost:{port}", nproc, proc_id)
+    assert jax.process_count() == nproc, jax.process_count()
+    cpus = jax.devices("cpu")
+    assert len(cpus) == 2 * nproc, cpus
+    mesh = dist.make_mesh(cpus)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cpu_tsdf_tpu import TSDFConfig
+    from cpu_tsdf_tpu.parallel.bricks import (integrate_bricks_sharded,
+                                              make_sharded_brick_volume)
+    from cpu_tsdf_tpu.synthetic import sphere_depth
+
+    cfg = TSDFConfig(
+        xres=64, yres=64, zres=64, xsize=1.6, ysize=1.6, zsize=1.6,
+        max_dist_pos=0.06, max_dist_neg=0.06, min_sensor_dist=0.1,
+        image_width=40, image_height=30, focal_length_x=35.0,
+        focal_length_y=35.0, principal_point_x=20.0, principal_point_y=15.0,
+        max_cell_size_x=0.4, max_cell_size_y=0.4, max_cell_size_z=0.4)
+    pose = np.eye(4, dtype=np.float32)
+    pose[2, 3] = -1.0
+    depth = np.asarray(sphere_depth(cfg, center=(0.0, 0.0, 1.0), radius=0.3))
+
+    bv = make_sharded_brick_volume(cfg, mesh, 8, capacity_per_device=256)
+    depth_g = dist.replicate_to_mesh(depth, mesh)
+    pose_g = dist.replicate_to_mesh(pose, mesh)
+    bv = integrate_bricks_sharded(bv, depth_g, pose_g, mesh, update_budget=1024)
+
+    wsum = float(jnp.sum(bv.weight))
+    dsum = float(jnp.sum(bv.sdf * bv.weight))
+    n_act = int(jnp.sum(bv.n_active))
+    ovf = bool(bv.overflowed.addressable_data(0)) if hasattr(
+        bv.overflowed, "addressable_data") else bool(bv.overflowed)
+    print(f"CHECK proc={proc_id} wsum={wsum:.6f} dsum={dsum:.6f} "
+          f"n_active={n_act} overflow={ovf}", flush=True)
+    return 0
+
+
+def coordinator(nproc: int = 2, port: str = "39217") -> int:
+    procs = []
+    for i in range(nproc):
+        env = dict(os.environ)
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), str(i), str(nproc), port],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+    outs = []
+    ok = True
+    for i, p in enumerate(procs):
+        try:
+            out, err = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, err = p.communicate()
+            ok = False
+        outs.append((p.returncode, out, err))
+        if p.returncode != 0:
+            ok = False
+    checks = []
+    for rc, out, err in outs:
+        for line in out.splitlines():
+            if line.startswith("CHECK"):
+                checks.append(line.split(" ", 2)[2])
+        if rc != 0:
+            sys.stderr.write(err[-2000:] + "\n")
+    if not ok or len(checks) != nproc or len(set(checks)) != 1 \
+            or "n_active=0" in checks[0] or "overflow=True" in checks[0]:
+        print(f"MULTIPROCESS FAIL: {checks}", flush=True)
+        return 1
+    print(f"MULTIPROCESS OK: {nproc} processes agree: {checks[0]}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    if len(sys.argv) >= 4:
+        sys.exit(worker(int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]))
+    sys.exit(coordinator(int(os.environ.get("NPROC", "2"))))

@@ -31,6 +31,7 @@
 #include <cmath>
 #include <cstdio>
 #include <cstring>
+#include <fstream>
 #include <vector>
 
 using cpu_tsdf::Octree;
@@ -116,6 +117,148 @@ static int update_voxel(const OctreeNode::Ptr &voxel) {
   else return -1;
 }
 
+// ---------------------------------------------------------------------------
+// renderView restatement over the GENUINE fused octree
+// (tsdf_volume_octree.cpp:278-424 driver logic, trilinear getTSDFValue
+// cpp:453-541 with use_trilinear_interpolation_ = true, cpp:80) — dumps a
+// depth image so the framework's renderers can be diffed against reference
+// behavior on reference-fused data.
+// ---------------------------------------------------------------------------
+
+static bool get_voxel_index(float x, float y, float z, int &xi, int &yi, int &zi) {
+  double off = (double)xsize / 2.0;  // cubic volume (cpp:611-617 semantics)
+  xi = (int)std::floor(((double)x + off) / (double)xsize * (double)xres);
+  yi = (int)std::floor(((double)y + off) / (double)xsize * (double)xres);
+  zi = (int)std::floor(((double)z + off) / (double)xsize * (double)xres);
+  return xi >= 0 && yi >= 0 && zi >= 0 && xi < xres && yi < xres && zi < xres;
+}
+
+static void voxel_center(int xi, int yi, int zi, float &x, float &y, float &z) {
+  float off = xsize / 2.0f;
+  x = (xi + 0.5) * xsize / (double)xres - off;
+  y = (yi + 0.5) * xsize / (double)xres - off;
+  z = (zi + 0.5) * xsize / (double)xres - off;
+}
+
+static float interp_trilinear(cpu_tsdf::Octree &oct, float x, float y, float z,
+                              bool *valid) {
+  int xi, yi, zi;
+  bool exists = get_voxel_index(x, y, z, xi, yi, zi);
+  if (!exists || xi <= 0 || xi >= xres - 1 || yi <= 0 || yi >= xres - 1 ||
+      zi <= 0 || zi >= xres - 1) {
+    if (valid) *valid = false;
+    return std::numeric_limits<float>::quiet_NaN();
+  }
+  float vx_, vy_, vz_;
+  voxel_center(xi, yi, zi, vx_, vy_, vz_);
+  if (x < vx_) xi -= 1;
+  if (y < vy_) yi -= 1;
+  if (z < vz_) zi -= 1;
+  voxel_center(xi, yi, zi, vx_, vy_, vz_);
+  float a = (x - vx_) * xres / xsize;
+  float b = (y - vy_) * xres / xsize;
+  float c = (z - vz_) * xres / xsize;
+  const cpu_tsdf::OctreeNode *n[2][2][2];
+  for (int dx = 0; dx < 2; dx++)
+    for (int dy = 0; dy < 2; dy++)
+      for (int dz = 0; dz < 2; dz++) {
+        float cx2, cy2, cz2;
+        voxel_center(xi + dx, yi + dy, zi + dz, cx2, cy2, cz2);
+        n[dx][dy][dz] = oct.getContainingVoxel(cx2, cy2, cz2);
+        if (valid) *valid &= (n[dx][dy][dz]->w_ > 0);
+      }
+  return n[0][0][0]->d_ * (1 - a) * (1 - b) * (1 - c) +
+         n[0][0][1]->d_ * (1 - a) * (1 - b) * c +
+         n[0][1][0]->d_ * (1 - a) * b * (1 - c) +
+         n[0][1][1]->d_ * (1 - a) * b * c +
+         n[1][0][0]->d_ * a * (1 - b) * (1 - c) +
+         n[1][0][1]->d_ * a * (1 - b) * c +
+         n[1][1][0]->d_ * a * b * (1 - c) +
+         n[1][1][1]->d_ * a * b * c;
+}
+
+// per-pixel march (cpp:291-424); pose = camera-to-volume row-major 4x4
+static void render_depth(cpu_tsdf::Octree &oct, const float *pose,
+                         std::vector<float> &out) {
+  float min_step = max_dist_neg * 3 / 4.0f;
+  float ox = pose[3], oy = pose[7], oz = pose[11];
+  for (int i = 0; i < W * H; i++) {
+    int px = i % W, py = i / W;
+    float dux = (px - cx_) / fx, duy = (py - cy_) / fy, duz = 1.0f;
+    float nrm = std::sqrt(dux * dux + duy * duy + duz * duz);
+    dux /= nrm; duy /= nrm; duz /= nrm;
+    float rx = pose[0] * dux + pose[1] * duy + pose[2] * duz;
+    float ry = pose[4] * dux + pose[5] * duy + pose[6] * duz;
+    float rz = pose[8] * dux + pose[9] * duy + pose[10] * duz;
+    bool found_crossing = false;
+    float d = 0, w = 0, last_w = 0, last_d = 0;
+    float t = min_sensor_dist;
+    float p0 = ox + t * rx, p1 = oy + t * ry, p2 = oz + t * rz;
+    float step = min_step;
+    bool hit_voxel = false;
+    while (t < max_sensor_dist) {
+      const cpu_tsdf::OctreeNode *voxel = oct.getContainingVoxel(p0, p1, p2);
+      if (voxel) {
+        hit_voxel = true;
+        voxel->getData(d, w);
+        if (((d < 0 && last_d > 0) || (d > 0 && last_d < 0)) && last_w && w) {
+          found_crossing = true;
+          float old_t = t - step;
+          step = (xsize / xres) / 2.0f;  // cubic: zsize_/zres_
+          float new_d, new_w;
+          float last_new_d = d, last_new_w = w;
+          while (t >= old_t) {
+            t -= step;
+            p0 -= step * rx; p1 -= step * ry; p2 -= step * rz;
+            voxel = oct.getContainingVoxel(p0, p1, p2);
+            if (!voxel) break;
+            voxel->getData(new_d, new_w);
+            if ((last_d > 0 && new_d > 0) || (last_d < 0 && new_d < 0)) {
+              last_d = new_d;
+              last_w = new_w;
+              d = last_new_d;
+              w = last_new_w;
+              t += step;
+              p0 += step * rx; p1 += step * ry; p2 += step * rz;
+              break;
+            }
+            last_new_d = d;
+            last_new_w = w;
+          }
+          break;
+        }
+        last_d = d;
+        last_w = w;
+        step = std::max((float)voxel->getMinSize() / 4.0f,
+                        (float)(std::fabs(d) * max_dist_neg));
+      } else if (hit_voxel) {
+        break;
+      }
+      t += step;
+      p0 += step * rx; p1 += step * ry; p2 += step * rz;
+    }
+    float depth_val = std::numeric_limits<float>::quiet_NaN();
+    if (found_crossing) {
+      bool has_data = true;
+      float tcurr = t, tprev = t - step;
+      last_d = interp_trilinear(oct, ox + tprev * rx, oy + tprev * ry,
+                                oz + tprev * rz, &has_data);
+      d = interp_trilinear(oct, ox + tcurr * rx, oy + tcurr * ry,
+                           oz + tcurr * rz, &has_data);
+      if (has_data && !std::isnan(d) && !std::isnan(last_d)) {
+        float t_star = t + step * (-1 + std::fabs(last_d / (last_d - d)));
+        float hx = ox + t_star * rx, hy = oy + t_star * ry, hz = oz + t_star * rz;
+        // camera-frame depth (pcl::transformPointCloudWithNormals by
+        // trans.inverse(), cpp:423)
+        float cxp, cyp, czp;
+        apply(pose_inv, hx, hy, hz, cxp, cyp, czp);
+        depth_val = czp;
+      }
+    }
+    out[i] = depth_val;
+  }
+}
+
 int main(int argc, char **argv) {
   const char *color_mode = argc > 1 ? argv[1] : "RGB";
   int ints[7];
@@ -140,9 +283,11 @@ int main(int argc, char **argv) {
 
   depth.resize((size_t)W * H);
   if (use_color) rgb.resize((size_t)W * H * 3);
+  static float last_pose[16];
   for (int f = 0; f < n_frames; f++) {
     float pose[16];
     if (std::fread(pose, 4, 16, stdin) != 16) return 2;
+    std::memcpy(last_pose, pose, sizeof(last_pose));
     if (std::fread(depth.data(), 4, depth.size(), stdin) != depth.size()) return 2;
     if (use_color &&
         std::fread(rgb.data(), 1, rgb.size(), stdin) != rgb.size()) return 2;
@@ -216,5 +361,22 @@ int main(int argc, char **argv) {
   }
   std::fwrite(&n, 4, 1, stdout);
   std::fwrite(out.data(), 1, out.size(), stdout);
+
+  // optional: dump the GENUINE reference serialization (Octree::serialize,
+  // octree.cpp:645-657 + per-node-type color prefixes) so .vol interop can
+  // be golden-tested against real reference bytes
+  if (argc > 2 && argv[2][0] != '-') {
+    std::ofstream vf(argv[2], std::ios::binary);
+    octree.serialize(vf);
+  }
+
+  // argv[3]: render the LAST frame's pose over the fused octree and dump the
+  // f32 depth image (NaN = no crossing)
+  if (argc > 3) {
+    std::vector<float> img((size_t)W * H);
+    render_depth(octree, last_pose, img);
+    std::ofstream rf(argv[3], std::ios::binary);
+    rf.write((const char *)img.data(), img.size() * 4);
+  }
   return 0;
 }

@@ -299,7 +299,8 @@ def _integrate_impl(argv=None) -> int:
             dv = to_dense(vol) if args.sparse else vol
             save_vol(tsdf_path, cfg, np.asarray(dv.sdf), np.asarray(dv.weight),
                      np.asarray(dv.M), np.asarray(dv.nsample),
-                     rgb=None if dv.color is None else np.asarray(dv.color))
+                     rgb=None if dv.color is None else np.asarray(dv.color),
+                     color_mode=cfg.color_mode)
         else:
             tsdf_path = os.path.join(args.out_dir, "volume.npz")
             save_checkpoint(tsdf_path, vol)

@@ -112,8 +112,8 @@ def load_any(path: str) -> TSDFVolume:
 
     cfg, arrays, transform = load_vol(path)
     color = None
-    if "rgb" in arrays:
-        color = jnp.asarray(arrays["rgb"])
+    if "color" in arrays:
+        color = jnp.asarray(arrays["color"])
     else:
         cfg = cfg.with_updates(integrate_color=False)
     return TSDFVolume(

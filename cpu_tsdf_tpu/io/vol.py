@@ -9,9 +9,11 @@ interoperate both ways:
   * recursive node records       octree.cpp:289-304 (d, w, ctr, size, M f32;
     nsample i32; nchild u64) with per-type color prefixes (octree.cpp:360-376,
     416-433, 565-581). NOTE the reference truncates RGBNormalized/LAB floats
-    to one byte when serializing (its documented bug); we read those bytes
-    back as the reference would, and only write NOCOLOR/RGB volumes, which
-    round-trip exactly.
+    to one byte when serializing (its documented bug); we read AND write those
+    low bytes exactly as the reference does — loading reconstructs the same
+    denormal floats its own deserialize produces (byte patched into a
+    zero-initialized float member, octree.h:218-221,268-269). NOCOLOR/RGB
+    volumes round-trip exactly.
 
 Our octree WRITER emits a tree the reference loader accepts: uniform
 subdivision to the coarse level, then full subdivision to the finest level
@@ -117,14 +119,26 @@ def load_vol(path: str):
     M = np.zeros(shape, np.float32)
     nsample = np.zeros(shape, np.int32)
     finest_mask = np.zeros(shape, bool)
-    rgb = np.zeros(shape + (3,), np.float32) if type_string == "RGB" else None
-
     cprefix = _color_prefix_size(type_string)
+    color = (np.zeros(shape + (cprefix,), np.float32) if cprefix else None)
+
     finest = xsize / xres
     pos = r.pos
 
+    def decode_color(raw: bytes) -> np.ndarray:
+        if type_string == "RGB":
+            # RGBNode stores genuine uint8 members (octree.cpp:360-366)
+            return np.frombuffer(raw, np.uint8).astype(np.float32)
+        # RGBNormalized/LAB write only the LOW BYTE of each float member
+        # (octree.cpp:416-424,565-571 — the reference's documented float-as-
+        # byte truncation); its own deserialize patches that byte into a
+        # zero-initialized float (octree.h:218-221,268-269), yielding the
+        # denormal  byte * 2^-149.  Reproduce that bit pattern exactly so our
+        # in-memory channels match the reference loader's.
+        return np.frombuffer(raw, np.uint8).astype("<u4").view("<f4")
+
     def parse(pos: int):
-        color = data[pos:pos + cprefix]
+        raw_color = data[pos:pos + cprefix]
         pos += cprefix
         d, w, cx, cy, cz, size, Mv, ns = struct.unpack_from(_NODE_FMT, data, pos)
         pos += _NODE_SIZE
@@ -145,8 +159,8 @@ def load_vol(path: str):
             nsample[sl] = ns
             if size <= finest * 1.0001:
                 finest_mask[sl] = True
-            if rgb is not None and cprefix == 3:
-                rgb[sl] = np.frombuffer(color, np.uint8).astype(np.float32)
+            if color is not None:
+                color[sl] = decode_color(raw_color)
         else:
             assert nchild == 8, nchild
             for _ in range(8):
@@ -162,8 +176,10 @@ def load_vol(path: str):
         sys.setrecursionlimit(old_limit)
 
     arrays = dict(sdf=sdf, weight=weight, M=M, nsample=nsample, finest_mask=finest_mask)
-    if rgb is not None:
-        arrays["rgb"] = rgb
+    if color is not None:
+        arrays["color"] = color
+        if type_string == "RGB":
+            arrays["rgb"] = color  # back-compat alias
     return cfg, arrays, mat
 
 
@@ -173,8 +189,16 @@ def _fmt(v: float) -> str:
 
 
 def save_vol(path: str, cfg: TSDFConfig, sdf, weight, M=None, nsample=None,
-             rgb=None, global_transform: Optional[np.ndarray] = None) -> None:
-    """Write a reference-loadable .vol checkpoint from dense arrays."""
+             rgb=None, global_transform: Optional[np.ndarray] = None,
+             color_mode: str = "RGB") -> None:
+    """Write a reference-loadable .vol checkpoint from dense arrays.
+
+    `rgb` is the fused color-channel array for `color_mode`: [X,Y,Z,3] 0..255
+    for RGB, [X,Y,Z,4] (r_n,g_n,b_n,i) for RGBNormalized, [X,Y,Z,3] (L,A,B)
+    for LAB. Non-RGB modes serialize only the LOW BYTE of each float channel,
+    exactly like the reference's broken writer (octree.cpp:416-424,565-571) —
+    the bytes the reference's own loader expects.
+    """
     sdf = np.asarray(sdf, np.float32)
     weight = np.asarray(weight, np.float32)
     M = np.zeros_like(sdf) if M is None else np.asarray(M, np.float32)
@@ -182,9 +206,14 @@ def save_vol(path: str, cfg: TSDFConfig, sdf, weight, M=None, nsample=None,
                else np.asarray(nsample, np.int32))
     if global_transform is None:
         global_transform = np.eye(4)
-    type_string = "RGB" if rgb is not None else "NOCOLOR"
+    type_string = color_mode if rgb is not None else "NOCOLOR"
     if rgb is not None:
-        rgb = np.clip(np.asarray(rgb), 0, 255).astype(np.uint8)
+        if type_string == "RGB":
+            rgb = np.clip(np.asarray(rgb), 0, 255).astype(np.uint8)
+        else:
+            assert type_string in ("RGBNormalized", "LAB"), type_string
+            assert np.asarray(rgb).shape[-1] == _color_prefix_size(type_string)
+            rgb = (np.asarray(rgb, "<f4").view("<u4") & 0xFF).astype(np.uint8)
 
     out = []
     out.append(b"# TSDFVolumeOctree Meta Information\n")
@@ -240,11 +269,11 @@ def save_vol(path: str, cfg: TSDFConfig, sdf, weight, M=None, nsample=None,
         else:
             d, w, Mv, ns = -1.0, 0.0, 0.0, 0
         prefix = b""
-        if type_string == "RGB":
+        if type_string != "NOCOLOR":
             if lvl == 0:
                 prefix = rgb[i, j, k].tobytes()
             else:
-                prefix = b"\x00\x00\x00"
+                prefix = b"\x00" * _color_prefix_size(type_string)
         rec = prefix + struct.pack(_NODE_FMT, d, w, cx, cy, cz, size, Mv, ns)
         if subdivide:
             parts = [rec, struct.pack("<Q", 8)]

@@ -221,13 +221,26 @@ def _emit_soup(cfg, global_transform, ci, cj, ck, vals, cube_ok, center_rgb,
     mu = jnp.where(denom == 0, 0.5, (0.0 - v1) / jnp.where(denom == 0, 1.0, denom))
     edge_pts = p1 + mu[..., None] * (p2 - p1)  # [N, 12, 3]
 
-    # Triangle emission via table lookup.
-    tri_tab = jnp.asarray(TRI_TABLE.astype(np.int32))       # [256, 3*MAX]
-    tri_cnt = jnp.asarray(TRI_COUNT)                        # [256]
-    entries = tri_tab[cubeindex]                            # [N, 3*MAX]
-    ntris = jnp.where(cube_ok, tri_cnt[cubeindex], 0)       # [N]
+    # Triangle emission via table lookup. For kernel-sized N the [N, 16] row
+    # fetch goes through a one-hot MXU matmul (arbitrary gathers run at
+    # ~0.1 G elem/s on this TPU; the matmul is sub-ms); the dense path's
+    # larger budgets fall back to the gather to avoid a [N, 256] blow-up.
     N = vals.shape[0]
     M = MAX_TRIS_PER_CUBE
+    if N <= (1 << 17):
+        table = np.concatenate([TRI_TABLE.astype(np.float32),
+                                TRI_COUNT[:, None].astype(np.float32)], 1)
+        onehot = (cubeindex[:, None] == jnp.arange(256, dtype=jnp.int32)[None, :]
+                  ).astype(jnp.float32)
+        rows = jnp.dot(onehot, jnp.asarray(table),
+                       preferred_element_type=jnp.float32)
+        entries = rows[:, :3 * M].astype(jnp.int32)
+        ntris = jnp.where(cube_ok, rows[:, 3 * M].astype(jnp.int32), 0)
+    else:
+        tri_tab = jnp.asarray(TRI_TABLE.astype(np.int32))   # [256, 3*MAX]
+        tri_cnt = jnp.asarray(TRI_COUNT)                    # [256]
+        entries = tri_tab[cubeindex]                        # [N, 3*MAX]
+        ntris = jnp.where(cube_ok, tri_cnt[cubeindex], 0)   # [N]
     edge_ids = jnp.maximum(entries, 0).reshape(N, M, 3)     # [N, M, 3]
     # per-slot edge selection as a fused select-accumulate over the 12 edges
     tri_verts = jnp.zeros((N, M, 3, 3), jnp.float32)
@@ -299,91 +312,152 @@ def extract_mesh(vol: TSDFVolume, min_weight: float = DEFAULT_MIN_WEIGHT,
 #   3. compacts crossing cubes to a budget and emits triangles only for them.
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
-def _marching_cubes_brick_chunk(bv, slot0, n_slots: int, cube_budget: int,
-                                min_weight: float, color_by_rgb: bool,
-                                color_by_confidence: bool) -> MeshSoup:
-    """Triangles for cubes whose lower-corner voxel lies in bricks
-    [slot0, slot0 + n_slots). Every voxel belongs to exactly one brick, so
-    chunks never duplicate cubes."""
-    from ..activation import _compact
+def _corner_stacks(bv, slot0, K: int, min_weight: float):
+    """The 8 corner-value stacks for every cube of bricks
+    [slot0, slot0 + K), assembled WITHOUT arbitrary gathers or awkward
+    [K,9,9,9] intermediates (the round-3 first cut spent 56 of 70 ms on 16
+    in-place halo writes into that shape).
 
+    Each corner stack dcorn[c] (voxel at local+CORNER_OFFSETS[c]) is a concat
+    tree over up to 8 pieces: interior slices of the OWN block plus face/
+    edge/corner slabs row-gathered from the +1 neighbor bricks. Returns
+    (dstack [8, K, V] normalized SDF, cube_ok [K, V] flat mask, coords,
+    slot_live)."""
     cfg = bv.config
     B = bv.brick_size
     V = B * B * B
-    K = n_slots
     nbx, nby, nbz = bv.bricks_per_axis
     C = bv.capacity
     coords = jax.lax.dynamic_slice(bv.coords, (slot0, 0), (K, 3))
     # liveness comes from coords alone: sharded allocation leaves live slots
     # non-contiguous (per-device partitions), so n_active is not a bound
     slot_live = coords[:, 0] >= 0
-
-    # ---- stage 1: haloed blocks [K, B+1, B+1, B+1] ------------------------
-    d_pad = jnp.concatenate([bv.sdf, jnp.full((1, B, B, B), -1.0, bv.sdf.dtype)], 0)
-    w_pad = jnp.concatenate([bv.weight, jnp.zeros((1, B, B, B), bv.weight.dtype)], 0)
     bmap_flat = bv.brick_map.reshape(-1)
-    blkd = jnp.full((K, B + 1, B + 1, B + 1), -1.0, jnp.float32)
-    blkw = jnp.zeros((K, B + 1, B + 1, B + 1), jnp.float32)
-    own_d = jax.lax.dynamic_slice(bv.sdf, (slot0, 0, 0, 0), (K, B, B, B))
-    own_w = jax.lax.dynamic_slice(bv.weight, (slot0, 0, 0, 0), (K, B, B, B))
-    blkd = blkd.at[:, :B, :B, :B].set(jnp.where(slot_live[:, None, None, None],
-                                                own_d, -1.0))
-    blkw = blkw.at[:, :B, :B, :B].set(jnp.where(slot_live[:, None, None, None],
-                                                own_w, 0.0))
-    for ox in (0, 1):
-        sx = slice(0, B) if ox == 0 else slice(0, 1)
-        dx = slice(0, B) if ox == 0 else slice(B, B + 1)
-        for oy in (0, 1):
-            sy = slice(0, B) if oy == 0 else slice(0, 1)
-            dy = slice(0, B) if oy == 0 else slice(B, B + 1)
-            for oz in (0, 1):
-                if ox == oy == oz == 0:
-                    continue
-                sz = slice(0, B) if oz == 0 else slice(0, 1)
-                dz = slice(0, B) if oz == 0 else slice(B, B + 1)
-                nc = coords + jnp.asarray([ox, oy, oz])
-                ok = slot_live & (nc[:, 0] < nbx) & (nc[:, 1] < nby) & (nc[:, 2] < nbz)
-                blin = (nc[:, 0] * nby + nc[:, 1]) * nbz + nc[:, 2]
-                nslot = jnp.take(bmap_flat, jnp.clip(blin, 0, nbx * nby * nbz - 1),
-                                 mode="clip")
-                nslot = jnp.where(ok & (nslot >= 0), nslot, C)
-                blkd = blkd.at[:, dx, dy, dz].set(d_pad[:, sx, sy, sz][nslot])
-                blkw = blkw.at[:, dx, dy, dz].set(w_pad[:, sx, sy, sz][nslot])
 
-    # ---- stage 2: corner stacks as shifted views + cube filter ------------
+    def neighbor_slot(bits):
+        nc = coords + jnp.asarray(bits, jnp.int32)
+        ok = slot_live & (nc[:, 0] < nbx) & (nc[:, 1] < nby) & (nc[:, 2] < nbz)
+        blin = (nc[:, 0] * nby + nc[:, 1]) * nbz + nc[:, 2]
+        nslot = jnp.take(bmap_flat, jnp.clip(blin, 0, nbx * nby * nbz - 1),
+                         mode="clip")
+        return jnp.where(ok & (nslot >= 0), nslot, C)  # C = out of range
+
+    nslots = {bits: neighbor_slot(bits)
+              for bits in [(1, 0, 0), (0, 1, 0), (0, 0, 1), (1, 1, 0),
+                           (1, 0, 1), (0, 1, 1), (1, 1, 1)]}
+
+    def slabs_for(field, fill):
+        """Source slabs per neighbor-bit combo; shape [K, dx, dy, dz]."""
+        own = jnp.where(slot_live[:, None],
+                        jax.lax.dynamic_slice(field, (slot0, 0, 0, 0),
+                                              (K, B, B, B)).reshape(K, V),
+                        fill).reshape(K, B, B, B)
+
+        def g(src2d, bits, shape):
+            t = jnp.take(src2d, nslots[bits], axis=0, mode="fill",
+                         fill_value=fill)
+            return t.reshape((K,) + shape)
+
+        return {
+            (0, 0, 0): own,
+            (1, 0, 0): g(field[:, 0].reshape(C, B * B), (1, 0, 0), (1, B, B)),
+            (0, 1, 0): g(field[:, :, 0].reshape(C, B * B), (0, 1, 0), (B, 1, B)),
+            (0, 0, 1): g(field[:, :, :, 0].reshape(C, B * B), (0, 0, 1), (B, B, 1)),
+            (1, 1, 0): g(field[:, 0, 0].reshape(C, B), (1, 1, 0), (1, 1, B)),
+            (1, 0, 1): g(field[:, 0, :, 0].reshape(C, B), (1, 0, 1), (1, B, 1)),
+            (0, 1, 1): g(field[:, :, 0, 0].reshape(C, B), (0, 1, 1), (B, 1, 1)),
+            (1, 1, 1): g(field[:, 0, 0, 0].reshape(C, 1), (1, 1, 1), (1, 1, 1)),
+        }
+
+    d_slabs = slabs_for(bv.sdf, -1.0)
+    w_slabs = slabs_for(bv.weight, 0.0)
+
+    def corner(slabs, ox, oy, oz):
+        """[K, B, B, B] voxel values at local+(ox,oy,oz) via concat tree."""
+        xparts = []
+        for bx, xsl in ([(0, slice(0, B))] if ox == 0
+                        else [(0, slice(1, B)), (1, slice(None))]):
+            yparts = []
+            for by, ysl in ([(0, slice(0, B))] if oy == 0
+                            else [(0, slice(1, B)), (1, slice(None))]):
+                zparts = []
+                for bz, zsl in ([(0, slice(0, B))] if oz == 0
+                                else [(0, slice(1, B)), (1, slice(None))]):
+                    src = slabs[(bx, by, bz)]
+                    piece = src[:,
+                                xsl if bx == 0 else slice(None),
+                                ysl if by == 0 else slice(None),
+                                zsl if bz == 0 else slice(None)]
+                    zparts.append(piece)
+                yparts.append(zparts[0] if len(zparts) == 1
+                              else jnp.concatenate(zparts, 3))
+            xparts.append(yparts[0] if len(yparts) == 1
+                          else jnp.concatenate(yparts, 2))
+        out = xparts[0] if len(xparts) == 1 else jnp.concatenate(xparts, 1)
+        return out.reshape(K, V)
+
     offs = np.asarray(CORNER_OFFSETS)
-    dcs = [blkd[:, ox:ox + B, oy:oy + B, oz:oz + B] for ox, oy, oz in offs]
-    wcs = [blkw[:, ox:ox + B, oy:oy + B, oz:oz + B] for ox, oy, oz in offs]
-    dcorn = jnp.stack(dcs, -1).reshape(K * V, 8)     # [K*V, 8] normalized
-    corner_ok = jnp.ones((K, B, B, B), bool)
+    dcs = [corner(d_slabs, *o) for o in offs]
+    wcs = [corner(w_slabs, *o) for o in offs]
+    dstack = jnp.stack(dcs, 0)                       # [8, K, V]
+
+    corner_ok = jnp.ones((K, V), bool)
     for dc, wc in zip(dcs, wcs):
         corner_ok &= (wc >= min_weight) & (jnp.abs(dc) < 1.0)
-    center_ok = (wcs[0] >= min_weight) & (jnp.abs(dcs[0]) < 1.0)
-    neg = jnp.zeros((K, B, B, B), bool)
-    pos = jnp.zeros((K, B, B, B), bool)
+    neg = jnp.zeros((K, V), bool)
+    pos = jnp.zeros((K, V), bool)
     for dc in dcs:
         neg |= dc < 0
         pos |= dc >= 0
 
-    li = jnp.arange(B, dtype=jnp.int32)
-    vx = coords[:, 0:1, None, None] * B + li[None, :, None, None]
-    vy = coords[:, 1:2, None, None] * B + li[None, None, :, None]
-    vz = coords[:, 2:3, None, None] * B + li[None, None, None, :]
+    vid = jnp.arange(V, dtype=jnp.int32)[None, :]
+    vx = coords[:, 0:1] * B + vid // (B * B)
+    vy = coords[:, 1:2] * B + (vid // B) % B
+    vz = coords[:, 2:3] * B + vid % B
     interior = ((vx >= 1) & (vx < cfg.xres - 2)
                 & (vy >= 1) & (vy < cfg.yres - 2)
                 & (vz >= 1) & (vz < cfg.zres - 2))
-    cube_ok = (corner_ok & center_ok & neg & pos & interior
-               & slot_live[:, None, None, None])
+    cube_ok = corner_ok & neg & pos & interior & slot_live[:, None]
+    return dstack, cube_ok, coords, slot_live
 
-    # ---- stage 3: compact crossing cubes, then emit only those ------------
-    idx, n_cubes = _compact(cube_ok.reshape(-1),
-                            jnp.arange(K * V, dtype=jnp.int32), cube_budget)
-    ok2 = idx >= 0
-    idxs = jnp.maximum(idx, 0)
-    vals = jnp.take(dcorn, idxs, axis=0) * cfg.max_dist_neg    # [Nc, 8] meters
-    s = idxs // V
-    within = idxs % V
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
+def _marching_cubes_brick_chunk(bv, slot0, n_slots: int, cube_budget: int,
+                                brick_budget: int, min_weight: float,
+                                color_by_rgb: bool, color_by_confidence: bool):
+    """Triangles for cubes whose lower-corner voxel lies in bricks
+    [slot0, slot0 + n_slots). Every voxel belongs to exactly one brick, so
+    chunks never duplicate cubes. Returns (MeshSoup, brick_overflow).
+
+    Compaction is two-level — bricks containing any crossing first (budget
+    `brick_budget`), then cubes of only those bricks — so the cumsum/scatter
+    cost scales with the crossing SET, not the full chunk grid."""
+    from ..activation import _compact
+
+    cfg = bv.config
+    B = bv.brick_size
+    V = B * B * B
+    K = n_slots
+    dstack, cube_ok, coords, slot_live = _corner_stacks(bv, slot0, K, min_weight)
+
+    # ---- two-level compaction --------------------------------------------
+    KB = brick_budget
+    brick_any = jnp.any(cube_ok, axis=1)                       # [K]
+    bidx, n_bricks = _compact(brick_any, jnp.arange(K, dtype=jnp.int32), KB)
+    brick_ovf = n_bricks > KB
+    bok = bidx >= 0
+    bsafe = jnp.maximum(bidx, 0)
+    sub_ok = jnp.take(cube_ok, bsafe, axis=0) & bok[:, None]   # [KB, V]
+    idx2, n_cubes = _compact(sub_ok.reshape(-1),
+                             jnp.arange(KB * V, dtype=jnp.int32), cube_budget)
+    ok2 = idx2 >= 0
+    i2 = jnp.maximum(idx2, 0)
+    s = jnp.take(bsafe, i2 // V)          # chunk-local slot of each cube
+    within = i2 % V
+    idxs = s * V + within                 # flat candidate index
+
+    vals = jnp.take(dstack.reshape(8, K * V), idxs, axis=1).T \
+        * cfg.max_dist_neg                                     # [Nc, 8] meters
     lx, ly, lz = within // (B * B), (within // B) % B, within % B
     cs = jnp.take(coords, s, axis=0)
     cvx = cs[:, 0] * B + lx
@@ -392,21 +466,52 @@ def _marching_cubes_brick_chunk(bv, slot0, n_slots: int, cube_budget: int,
 
     center_rgb = None
     if color_by_rgb and bv.color is not None:
+        nch = bv.color.shape[-1]
         cblk = jax.lax.dynamic_slice(
-            bv.color, (slot0, 0, 0, 0, 0),
-            (K, B, B, B, bv.color.shape[-1])).reshape(K * V, -1)
+            bv.color, (slot0, 0, 0, 0, 0), (K, B, B, B, nch)).reshape(K * V, nch)
         vox_col = jnp.take(cblk, idxs, axis=0)
         r, g, bl = color_ops.color_to_rgb(cfg.color_mode, vox_col)
         center_rgb = jnp.stack([r, g, bl], -1)
     elif color_by_confidence:
-        wv = jnp.take(blkw[:, :B, :B, :B].reshape(-1), idxs)
+        wblk = jax.lax.dynamic_slice(
+            bv.weight, (slot0, 0, 0, 0), (K, B, B, B)).reshape(K * V)
+        wv = jnp.take(wblk, idxs)
         std_dev = (100.0 - wv) / 100.0
         r = jnp.clip((1.0 - std_dev) * 255.0, 0.0, 255.0)
         bb = jnp.clip(std_dev * 255.0, 0.0, 255.0)
         center_rgb = jnp.stack([r, jnp.zeros_like(r), bb], -1)
 
-    return _emit_soup(cfg, bv.global_transform, cvx, cvy, cvz, vals, ok2,
+    soup = _emit_soup(cfg, bv.global_transform, cvx, cvy, cvz, vals, ok2,
                       center_rgb, n_cubes > cube_budget)
+    return soup, brick_ovf
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8))
+def _extract_chunk_compact(bv, slot0, n_slots: int, cube_budget: int,
+                           brick_budget: int, tri_budget: int,
+                           min_weight: float, color_by_rgb: bool,
+                           color_by_confidence: bool):
+    """One-dispatch chunk extraction: chunk + in-jit soup compaction to a
+    fixed [tri_budget] buffer. Blocking host syncs cost ~30 ms each through
+    the TPU tunnel (bench/mc_probe4), so the whole chunk pipeline runs as a
+    single async dispatch; the caller reads flags/counts once at the end.
+
+    Returns (verts [T,3,3], cols [T,3,3] | None, stats [4] int32:
+    n_tris, cube_ovf, brick_ovf, tri_ovf)."""
+    soup, brick_ovf = _marching_cubes_brick_chunk(
+        bv, slot0, n_slots, cube_budget, brick_budget, min_weight,
+        color_by_rgb, color_by_confidence)
+    verts, cols = _compact_soup(soup, tri_budget)
+    n = soup.num_triangles
+    stats = jnp.stack([n, soup.overflowed.astype(jnp.int32),
+                       brick_ovf.astype(jnp.int32),
+                       (n > tri_budget).astype(jnp.int32)])
+    return verts, cols, stats
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _chunk_liveness(coords, nchunks: int):
+    return jnp.any((coords[:, 0] >= 0).reshape(nchunks, -1), axis=1)
 
 
 def extract_mesh_bricks(bv, min_weight: float = DEFAULT_MIN_WEIGHT,
@@ -423,40 +528,89 @@ def extract_soup_bricks(bv, min_weight: float = DEFAULT_MIN_WEIGHT,
                         color_by_rgb: bool = False,
                         color_by_confidence: bool = False,
                         chunk_slots: int = 2048,
-                        cube_budget: int = 1 << 15) -> MeshSoup:
+                        cube_budget: int = 1 << 15,
+                        tri_budget: Optional[int] = None,
+                        live_chunks: Optional[list] = None,
+                        check: bool = True) -> MeshSoup:
     """Device-level brick-native extraction: chunks over allocated bricks,
-    compacts each chunk's soup ON DEVICE (peak HBM stays ~one chunk budget,
-    not live_chunks x budget), and returns one device-resident MeshSoup whose
-    first `num_triangles` slots are the valid triangles in order.
+    each chunk one async dispatch producing a device-compacted [tri_budget]
+    soup; ONE final readback collects counts/overflow flags. Chunks whose
+    crossing-brick/cube/triangle counts exceed their budgets are re-run with
+    doubled budgets (recompile per new power-of-two, then cached).
 
-    A chunk whose crossing-cube count exceeds `cube_budget` is automatically
-    re-run with a doubled budget (recompile per new power-of-two budget).
+    `live_chunks` (list of chunk start slots) skips the liveness readback —
+    pass the previous extraction's `soup.live_chunks` when the active set is
+    unchanged, or compute once per trajectory segment.
+
+    `check=False` skips the overflow-retry sync entirely (ZERO host
+    round-trips — fully async): the soup keeps fixed [tri_budget]-per-chunk
+    buffers, `tri_valid` is a (non-prefix) mask, and `num_triangles` /
+    `overflowed` stay on device. Use after one checked call has established
+    sufficient budgets; callers MUST check `overflowed` before trusting the
+    result.
     """
     chunk_slots = min(chunk_slots, bv.capacity)
     while bv.capacity % chunk_slots:  # chunks must tile the slot range exactly
         chunk_slots //= 2
-    live = np.asarray(bv.coords[:, 0] >= 0)
-    starts = [s0 for s0 in range(0, bv.capacity, chunk_slots)
-              if live[s0:s0 + chunk_slots].any()] or [0]
-    verts, cols, total = [], [], 0
-    for s0 in starts:
-        budget = cube_budget
-        while True:
-            soup = _marching_cubes_brick_chunk(
-                bv, jnp.int32(s0), chunk_slots, budget, min_weight,
-                color_by_rgb, color_by_confidence)
-            if not bool(soup.overflowed):
-                break
-            budget *= 2
-        n = int(soup.num_triangles)
-        total += n
-        if n == 0:
-            continue
-        cap = 1 << int(np.ceil(np.log2(n)))
-        v, c = _compact_soup(soup, cap)
-        verts.append(v[:n])
-        if c is not None:
-            cols.append(c[:n])
+    if tri_budget is None:
+        tri_budget = cube_budget * 2
+    if live_chunks is None:
+        nchunks = bv.capacity // chunk_slots
+        if nchunks == 1:
+            live_chunks = [0]
+        else:
+            lv = np.asarray(_chunk_liveness(bv.coords, nchunks))
+            live_chunks = [i * chunk_slots for i in range(nchunks) if lv[i]] or [0]
+
+    kb0 = min(chunk_slots, max(256, cube_budget // 64))
+    if not check:
+        outs = [_extract_chunk_compact(bv, jnp.int32(s0), chunk_slots,
+                                       cube_budget, kb0, tri_budget,
+                                       min_weight, color_by_rgb,
+                                       color_by_confidence)
+                for s0 in live_chunks]
+        v_all = (outs[0][0] if len(outs) == 1
+                 else jnp.concatenate([o[0] for o in outs], 0))
+        c_all = (None if outs[0][1] is None else
+                 (outs[0][1] if len(outs) == 1
+                  else jnp.concatenate([o[1] for o in outs], 0)))
+        slot_ids = jnp.arange(tri_budget, dtype=jnp.int32)
+        tv = (jnp.stack([slot_ids < o[2][0] for o in outs], 0).reshape(-1)
+              if len(outs) > 1 else slot_ids < outs[0][2][0])
+        n_tot = sum(o[2][0] for o in outs)
+        ovf = sum(jnp.sum(o[2][1:]) for o in outs) > 0
+        soup = MeshSoup(vertices=v_all, colors=c_all, tri_valid=tv,
+                        num_triangles=n_tot, overflowed=ovf)
+        soup.live_chunks = live_chunks
+        return soup
+
+    pending = [(s0, cube_budget, kb0, tri_budget) for s0 in live_chunks]
+    verts, cols, counts = [], [], []
+    while pending:
+        batch = pending
+        pending = []
+        out = [(s0, cb, kb, tb,
+                _extract_chunk_compact(bv, jnp.int32(s0), chunk_slots, cb, kb,
+                                       tb, min_weight, color_by_rgb,
+                                       color_by_confidence))
+               for (s0, cb, kb, tb) in batch]
+        # ONE sync for the whole batch
+        stats = np.asarray(jnp.stack([o[4][2] for o in out]))
+        for (s0, cb, kb, tb, (v, c, _)), st in zip(out, stats):
+            n, cube_ovf, brick_ovf, tri_ovf = (int(x) for x in st)
+            if brick_ovf:
+                pending.append((s0, cb, min(chunk_slots, kb * 2), tb))
+            elif cube_ovf:
+                pending.append((s0, cb * 2, kb, tb))
+            elif tri_ovf:
+                pending.append((s0, cb, kb, tb * 2))
+            else:
+                if n:
+                    verts.append(v[:n])
+                    if c is not None:
+                        cols.append(c[:n])
+                    counts.append(n)
+    total = int(sum(counts))
     if not verts:
         z = jnp.zeros((0, 3, 3), jnp.float32)
         return MeshSoup(vertices=z, colors=(z if color_by_rgb or color_by_confidence
@@ -466,7 +620,9 @@ def extract_soup_bricks(bv, min_weight: float = DEFAULT_MIN_WEIGHT,
     v_all = verts[0] if len(verts) == 1 else jnp.concatenate(verts, 0)
     c_all = (None if not cols
              else (cols[0] if len(cols) == 1 else jnp.concatenate(cols, 0)))
-    return MeshSoup(vertices=v_all, colors=c_all,
+    soup = MeshSoup(vertices=v_all, colors=c_all,
                     tri_valid=jnp.arange(v_all.shape[0]) < total,
                     num_triangles=jnp.int32(total),
                     overflowed=jnp.asarray(False))
+    soup.live_chunks = live_chunks
+    return soup

@@ -47,7 +47,11 @@ def make_sharded_brick_volume(cfg: TSDFConfig, mesh: Mesh, brick_size: int = 8,
     bv = dataclasses.replace(bv, n_active=jnp.zeros((D,), jnp.int32))
 
     def put(a, spec):
-        return jax.device_put(a, NamedSharding(mesh, spec))
+        # multi-process meshes need per-host shard assembly; single-process
+        # reduces to a plain device_put (parallel/distributed.py)
+        from .distributed import shard_to_mesh
+
+        return shard_to_mesh(np.asarray(a), mesh, spec)
 
     return dataclasses.replace(
         bv,

@@ -219,3 +219,31 @@ def test_checkpoint_atomic_and_meta(tmp_path, small_cfg):
     # overwrite path keeps the old file intact until replace
     save_checkpoint(path, vol, {"next_frame": 18})
     assert checkpoint_meta(path)["next_frame"] == 18
+
+
+@pytest.mark.parametrize("mode,nch", [("RGBNormalized", 4), ("LAB", 3)])
+def test_vol_exotic_color_roundtrip(tmp_path, small_cfg, mode, nch):
+    """RGBNormalized/LAB .vol color payloads: the writer emits the LOW BYTE
+    of each float channel (the reference's broken serializer,
+    octree.cpp:416-424,565-571) and the loader reconstructs exactly what the
+    reference's own deserialize would hold in memory: that byte patched into
+    a zero-initialized float (the denormal byte * 2^-149)."""
+    cfg = small_cfg.with_updates(integrate_color=True, color_mode=mode)
+    rng = np.random.RandomState(5)
+    shape = (cfg.xres, cfg.yres, cfg.zres)
+    sdf = np.clip(rng.randn(*shape).astype(np.float32), -1, 1)
+    w = (rng.rand(*shape) < 0.1).astype(np.float32) * 3.0
+    color = rng.rand(*shape, nch).astype(np.float32) * np.float32(100.0)
+    p = str(tmp_path / "c.vol")
+    volio.save_vol(p, cfg, sdf, w, rgb=color, color_mode=mode)
+    cfg2, arrays, _ = volio.load_vol(p)
+    assert cfg2.color_mode == mode and cfg2.integrate_color
+    got = arrays["color"]
+    assert got.shape == shape + (nch,)
+    # expected = low byte of each float32, patched into zeroed float bits
+    low = (color.view("<u4") & 0xFF).astype("<u4")
+    expect = low.view("<f4")
+    mask = arrays["finest_mask"]
+    np.testing.assert_array_equal(got[mask], expect[mask])
+    # every reconstructed value is the denormal the reference would hold
+    assert np.all(got[mask] <= 256 * 1.5e-45)

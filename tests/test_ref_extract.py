@@ -184,3 +184,133 @@ def test_exotic_color_modes_match_compiled_reference(have_ref, small_cfg, mode):
         # both sides truncate to uint8 through the same conversions; allow
         # one count of rounding wobble at the f32/f64 boundary
         assert (np.abs(got - want) <= 1.0).mean() > 0.99
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mode", ["RGB", "RGBNormalized", "LAB"])
+def test_vol_codec_parses_genuine_reference_stream(have_ref, small_cfg, mode,
+                                                   tmp_path):
+    """Octree::serialize bytes from the COMPILED reference (octree.cpp:645-657
+    + per-node-type color prefixes) parse through our .vol codec: node layout
+    (prefix sizes!) must be exact or the stream misaligns, so matching
+    d/w/M/nsample at every observed finest leaf proves byte-level interop for
+    all three color node types."""
+    import io
+
+    cfg = small_cfg.with_updates(frustum_culling=False, integrate_color=True,
+                                 color_mode=mode)
+    pose = tilted_pose()
+    depth = np.asarray(sphere_depth(cfg, center=(-0.013, -0.021, 0.9), radius=0.3))
+    H, W = depth.shape
+    rng = np.random.RandomState(7)
+    rgb = rng.randint(0, 256, (H, W, 3)).astype(np.float32)
+
+    stream_path = str(tmp_path / "ref_octree.bin")
+    # re-run the oracle with the serialize dump argument
+    buf = struct.pack(
+        "<7i", cfg.xres, cfg.image_width, cfg.image_height, 1,
+        int(cfg.weight_by_depth), int(cfg.weight_by_variance), 1)
+    buf += struct.pack(
+        "<11f", cfg.xsize, cfg.max_dist_pos, cfg.max_dist_neg, cfg.max_weight,
+        cfg.min_sensor_dist, cfg.max_sensor_dist, cfg.focal_length_x,
+        cfg.focal_length_y, cfg.principal_point_x, cfg.principal_point_y,
+        cfg.max_cell_size_x)
+    buf += np.asarray(pose, np.float32).reshape(16).tobytes()
+    buf += depth.astype(np.float32).tobytes()
+    buf += np.clip(rgb, 0, 255).astype(np.uint8).tobytes()
+    out = subprocess.run([EXE, mode, stream_path], input=buf,
+                         capture_output=True, timeout=300, check=True).stdout
+    (n,) = struct.unpack_from("<i", out, 0)
+    rec = np.frombuffer(out[4:], dtype=np.dtype(
+        [("x", "<f4"), ("y", "<f4"), ("z", "<f4"), ("d", "<f4"), ("w", "<f4"),
+         ("M", "<f4"), ("ns", "<i4"), ("r", "u1"), ("g", "u1"), ("b", "u1")]),
+        count=n)
+    assert n > 500
+
+    # wrap the raw stream in a .vol meta header our loader expects (the
+    # reference's TSDFVolumeOctree::save does the same around Octree::serialize)
+    from cpu_tsdf_tpu.io import vol as volio
+
+    with open(stream_path, "rb") as f:
+        stream = f.read()
+    hdr = [b"# TSDFVolumeOctree Meta Information\n",
+           f"{cfg.xres} {cfg.yres} {cfg.zres}\n".encode(),
+           f"{cfg.xsize} {cfg.ysize} {cfg.zsize}\n".encode(),
+           f"{cfg.max_dist_pos}\n{cfg.max_dist_neg}\n{cfg.max_weight}\n".encode(),
+           f"{cfg.min_sensor_dist}\n{cfg.max_sensor_dist}\n".encode(),
+           f"{cfg.max_cell_size_x} {cfg.max_cell_size_y} {cfg.max_cell_size_z}\n".encode(),
+           (f"{cfg.focal_length_x} {cfg.focal_length_y} "
+            f"{cfg.principal_point_x} {cfg.principal_point_y}\n").encode(),
+           f"{cfg.image_width} {cfg.image_height}\n0\n0\n0\n".encode(),
+           b"% 4 4\n",
+           b"1 0 0 0\n0 1 0 0\n0 0 1 0\n0 0 0 1\n"]
+    p = str(tmp_path / "wrapped.vol")
+    with open(p, "wb") as f:
+        f.write(b"".join(hdr) + stream)
+    cfg2, arrays, _ = volio.load_vol(p)
+    assert cfg2.color_mode == mode
+
+    cell = cfg.xsize / cfg.xres
+    ix = np.floor((rec["x"] + cfg.xsize / 2) / cell).astype(int)
+    iy = np.floor((rec["y"] + cfg.ysize / 2) / cell).astype(int)
+    iz = np.floor((rec["z"] + cfg.zsize / 2) / cell).astype(int)
+    np.testing.assert_array_equal(arrays["sdf"][ix, iy, iz], rec["d"])
+    np.testing.assert_array_equal(arrays["weight"][ix, iy, iz], rec["w"])
+    np.testing.assert_array_equal(arrays["M"][ix, iy, iz], rec["M"])
+    np.testing.assert_array_equal(arrays["nsample"][ix, iy, iz], rec["ns"])
+    col = arrays["color"][ix, iy, iz]
+    if mode == "RGB":
+        # genuine uint8 members round-trip exactly
+        np.testing.assert_array_equal(col[:, 0], rec["r"].astype(np.float32))
+        np.testing.assert_array_equal(col[:, 1], rec["g"].astype(np.float32))
+        np.testing.assert_array_equal(col[:, 2], rec["b"].astype(np.float32))
+    else:
+        # float-as-byte truncation: reconstructed values are the denormals
+        # the reference's own deserialize yields
+        assert col.shape[1] == (4 if mode == "RGBNormalized" else 3)
+        assert np.all(col >= 0) and np.all(col <= 256 * 1.5e-45)
+        assert (col > 0).any()
+
+
+@pytest.mark.slow
+def test_render_matches_compiled_reference(have_ref, small_cfg):
+    """Depth-image golden for renderView: the oracle restates the reference's
+    per-pixel march + trilinear refinement (tsdf_volume_octree.cpp:278-424,
+    453-541) over the GENUINELY fused reference octree; our renderer runs on
+    the framework volume fused from the same frames. Bracket phases differ in
+    never-subdivided free space (the reference strides coarse-node-sized
+    steps), so gates are validity agreement + refined-depth tolerance."""
+    import tempfile
+
+    cfg = small_cfg.with_updates(frustum_culling=False)
+    pose = tilted_pose()
+    depth = np.asarray(sphere_depth(cfg, center=(-0.013, -0.021, 0.9), radius=0.3))
+    buf = struct.pack("<7i", cfg.xres, cfg.image_width, cfg.image_height, 0,
+                      0, 0, 1)
+    buf += struct.pack(
+        "<11f", cfg.xsize, cfg.max_dist_pos, cfg.max_dist_neg, cfg.max_weight,
+        cfg.min_sensor_dist, cfg.max_sensor_dist, cfg.focal_length_x,
+        cfg.focal_length_y, cfg.principal_point_x, cfg.principal_point_y,
+        cfg.max_cell_size_x)
+    buf += np.asarray(pose, np.float32).reshape(16).tobytes()
+    buf += depth.astype(np.float32).tobytes()
+    with tempfile.TemporaryDirectory() as td:
+        rp = os.path.join(td, "render.f32")
+        subprocess.run([EXE, "RGB", "-", rp], input=buf, capture_output=True,
+                       timeout=300, check=True)
+        ref_img = np.fromfile(rp, np.float32).reshape(cfg.image_height,
+                                                      cfg.image_width)
+    from cpu_tsdf_tpu import render_view
+
+    vol = integrate(make_volume(cfg), jnp.asarray(depth),
+                    jnp.asarray(pose, jnp.float32))
+    ours = np.asarray(render_view(vol, pose).depth)
+    rv = np.isfinite(ref_img)
+    ov = np.isfinite(ours)
+    assert rv.sum() > 500
+    agree = (rv == ov).mean()
+    assert agree > 0.95, agree
+    both = rv & ov
+    err = np.abs(ref_img[both] - ours[both])
+    assert np.median(err) < 1e-3, np.median(err)
+    assert (err < 5e-3).mean() > 0.97, (err < 5e-3).mean()
