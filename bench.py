@@ -265,6 +265,28 @@ def main():
             _ = float(fence(bv2.weight))
             extra["integrate_2048_fps"] = round(20 / (time.time() - t0), 2)
             log(f"2048^3 integrate: {extra['integrate_2048_fps']} fps")
+
+            # full-res render at the 2048^3 working point (round-2 verdict:
+            # the pack was capped at r_budget active bricks; now it grows)
+            rb = 4096
+            while bv2.capacity > rb and bool(jnp.any(bv2.coords[rb - 1:, 0] >= 0)):
+                rb *= 2
+            t0 = time.time()
+            pack2 = make_render_pack(bv2, rb)
+            res2, ovf2 = _render_pallas_jit(pack2, pose, 1, 65536, False, False)
+            _ = float(fence(res2.depth))
+            log(f"2048 render compile+first: {time.time()-t0:.1f}s "
+                f"r_budget={rb} overflow={bool(ovf2)}")
+            t0 = time.time()
+            for _ in range(3):
+                pack2 = make_render_pack(bv2, rb)
+                res2, ovf2 = _render_pallas_jit(pack2, pose, 1, 65536, False, False)
+            _ = float(fence(res2.depth))
+            r2048 = 3 * n_rays / (time.time() - t0)
+            nvalid = int(np.isfinite(np.asarray(res2.depth)).sum())
+            extra["render_2048_rays_per_s"] = round(r2048)
+            log(f"2048^3 render: {r2048/1e6:.2f} M rays/s, {nvalid} valid px, "
+                f"overflow={bool(ovf2)}")
         except Exception as e:
             log(f"2048 bench failed: {e!r}")
 

@@ -22,12 +22,19 @@ def worker(proc_id: int, nproc: int, port: str) -> int:
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
     import jax
 
+    # multi-process CPU needs the gloo collectives client; the axon TPU
+    # plugin ignores JAX_PLATFORMS, so pin the default backend to cpu too
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
     from cpu_tsdf_tpu.parallel import distributed as dist
 
     assert dist.initialize(f"localhost:{port}", nproc, proc_id)
-    assert jax.process_count() == nproc, jax.process_count()
+    assert jax.process_count(backend="cpu") == nproc, \
+        jax.process_count(backend="cpu")
     cpus = jax.devices("cpu")
     assert len(cpus) == 2 * nproc, cpus
+    jax.config.update("jax_default_device", [d for d in cpus
+                                             if d.process_index == proc_id][0])
     mesh = dist.make_mesh(cpus)
 
     import jax.numpy as jnp

@@ -272,9 +272,12 @@ def integrate_bricks(vol: BrickVolume, depth, pose, rgb=None,
     update_budget bounds the number of bricks updated per frame (band bricks
     visible in one frame); exceeding it sets `overflowed`. With use_pallas the
     per-voxel observation+fusion runs in the TPU kernel
-    (:mod:`cpu_tsdf_tpu.ops.pallas_fusion`); bricks the kernel cannot handle
-    (footprint taller than its depth band) fall back to the XLA path, and
-    color configs always use XLA.
+    (:mod:`cpu_tsdf_tpu.ops.pallas_fusion`), including color configs (the
+    kernel looks up a 24-bit-packed color image alongside depth and emits
+    per-brick aux observations; the mode-specific transform — RGB/
+    RGBNormalized/LAB, octree.cpp:328-434 — runs in XLA on those K rows).
+    Bricks the kernel cannot handle (footprint taller than its depth band)
+    fall back to the XLA path.
     """
     from .ops import color as color_ops
     from .ops.fusion import compute_observation
@@ -354,8 +357,9 @@ def integrate_bricks(vol: BrickVolume, depth, pose, rgb=None,
         return du, wu, Mu, nu, valid, w_eff, u, v
 
     color_active = vol.color is not None and rgb is not None
-    if use_pallas and not color_active:
-        from .ops.pallas_fusion import brick_meta, fuse_bricks_inplace, pad_depth
+    if use_pallas:
+        from .ops.pallas_fusion import (brick_meta, fuse_bricks_inplace,
+                                        pack_rgb, pad_depth, unpack_rgb)
 
         K = bsafe.shape[0]
         V = B * B * B
@@ -374,39 +378,76 @@ def integrate_bricks(vol: BrickVolume, depth, pose, rgb=None,
         need_fb = jnp.any(slot_ok & ~kernel_ok)
 
         def compute_fb(_):
-            du, wu, Mu, nu, _, _, _, _ = xla_update()
-            return du, wu, Mu, nu
+            du, wu, Mu, nu, valid, w_eff, u, v = xla_update()
+            out = (du, wu, Mu, nu)
+            if color_active:
+                c0 = jnp.take(vol.color, slots_c, axis=0)
+                rr = _gather_img(rgb[..., 0], v, u)
+                gg = _gather_img(rgb[..., 1], v, u)
+                bb = _gather_img(rgb[..., 2], v, u)
+                cu = color_ops.update_color(cfg.color_mode, c0, w0, rr, gg, bb, w_eff)
+                out += (jnp.where(valid[..., None], cu, c0),)
+            return out
 
         def zero_fb(_):
             z = jnp.zeros((K, B, B, B))
-            return z, z, z, jnp.zeros((K, B, B, B), n0.dtype)
+            out = (z, z, z, jnp.zeros((K, B, B, B), n0.dtype))
+            if color_active:
+                out += (jnp.zeros((K, B, B, B, vol.color.shape[-1])),)
+            return out
 
         fb = jax.lax.cond(need_fb, compute_fb, zero_fb, None)
 
-        d1f, w1f, M1f, n1f = fuse_bricks_inplace(
+        out = fuse_bricks_inplace(
             cfg, B, meta, pose_flat,
             vol.sdf.reshape(C, V), vol.weight.reshape(C, V),
             vol.M.reshape(C, V), vol.nsample.reshape(C, V),
-            pallas_interpret, depth=depth_c)
+            pallas_interpret, depth=depth_c,
+            rgb_packed=pack_rgb(rgb) if color_active else None)
+        d1f, w1f, M1f, n1f = out[:4]
         shape4 = (C, B, B, B)
         new_sdf = d1f.reshape(shape4)
         new_w = w1f.reshape(shape4)
         new_M = M1f.reshape(shape4)
         new_n = n1f.reshape(shape4)
 
-        def apply_fb(arrays):
-            sdf_, w_, M_, n_ = arrays
+        new_color = vol.color
+        if color_active:
+            # color transform in XLA over the kernel's aux observations
+            # (K rows — no image gathers anywhere)
+            rgbp, weff = out[4], out[5]
+            k4 = (K, B, B, B)
+            rr, gg, bb = unpack_rgb(rgbp.reshape(k4))
+            weff = weff.reshape(k4)
+            cvalid = (weff >= 0) & (slot_ok & kernel_ok)[:, None, None, None]
+            c0 = jnp.take(vol.color, slots_c, axis=0)
+            cu = color_ops.update_color(cfg.color_mode, c0, w0, rr, gg, bb,
+                                        jnp.maximum(weff, 0.0))
+            cu = jnp.where(cvalid[..., None], cu, c0)
+            col_slots = jnp.where(slot_ok & kernel_ok, slots, C)  # C -> dropped
+            new_color = vol.color.at[col_slots].set(cu, mode="drop")
+
+        def apply_fb(state):
+            sdf_, w_, M_, n_ = state[:4]
             fb_slots = jnp.where(slot_ok & ~kernel_ok, slots, C)  # C -> dropped
-            return (sdf_.at[fb_slots].set(fb[0], mode="drop"),
+            out_ = (sdf_.at[fb_slots].set(fb[0], mode="drop"),
                     w_.at[fb_slots].set(fb[1], mode="drop"),
                     M_.at[fb_slots].set(fb[2], mode="drop"),
                     n_.at[fb_slots].set(fb[3], mode="drop"))
+            if color_active:
+                out_ += (state[4].at[fb_slots].set(fb[4], mode="drop"),)
+            return out_
 
-        new_sdf, new_w, new_M, new_n = jax.lax.cond(
-            need_fb, apply_fb, lambda a: a, (new_sdf, new_w, new_M, new_n))
+        state = (new_sdf, new_w, new_M, new_n)
+        if color_active:
+            state += (new_color,)
+        state = jax.lax.cond(need_fb, apply_fb, lambda s: s, state)
+        if color_active:
+            new_color = state[4]
+        new_sdf, new_w, new_M, new_n = state[:4]
         return dataclasses.replace(
             vol, sdf=new_sdf, weight=new_w, M=new_M, nsample=new_n,
-            overflowed=vol.overflowed | overflow)
+            color=new_color, overflowed=vol.overflowed | overflow)
 
     d1, w1, M1, n1, valid, w_eff, u, v = xla_update()
     new_color = vol.color

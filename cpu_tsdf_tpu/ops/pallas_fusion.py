@@ -22,8 +22,16 @@ rows are fetched/written BY SLOT ID through a scalar-prefetch-driven
 index_map with input/output aliasing, so untouched rows carry over for free
 (no XLA row gather/scatter around the batch). Bricks whose image footprint
 exceeds the 128-row band (extremely close to the camera) are flagged and
-handled by the XLA fallback in cpu_tsdf_tpu.bricks; color configs always use
-the XLA path.
+handled by the XLA fallback in cpu_tsdf_tpu.bricks.
+
+Color configs (octree.cpp:328-434 fuses color inside the same addObservation
+as SDF): the three RGB channels are packed into ONE f32 image
+(r*65536+g*256+b — 24 bits, exact in f32), looked up with a second one-hot
+matmul over the same band, and emitted per batch-brick together with the
+effective fused weight (sign-encoding validity). The caller applies the
+mode-specific color transform (RGB/RGBNormalized/LAB) on those K rows in XLA
+— image gathers (the 0.1 G elem/s bottleneck) never happen, and the color
+storage keeps its [C, B, B, B, nc] layout.
 """
 
 from __future__ import annotations
@@ -54,6 +62,25 @@ def pad_depth(depth):
     out = jnp.full((Hp, Wp), jnp.float32(NAN_SENTINEL))
     out = out.at[:H, :W].set(jnp.where(jnp.isnan(depth), NAN_SENTINEL, depth))
     return out
+
+
+def pack_rgb(rgb):
+    """[H, W, 3] 0..255 -> one padded f32 image r*65536+g*256+b (24-bit
+    exact); padding is 0 (those lanes are invalid in the kernel anyway)."""
+    H, W = rgb.shape[:2]
+    Hp = max(BAND_ROWS, int(-(-H // 8) * 8))
+    Wp = int(-(-W // 128) * 128)
+    r, g, b = (jnp.trunc(rgb[..., i].astype(jnp.float32)) for i in range(3))
+    p = r * 65536.0 + g * 256.0 + b
+    return jnp.zeros((Hp, Wp), jnp.float32).at[:H, :W].set(p)
+
+
+def unpack_rgb(p):
+    """Inverse of :func:`pack_rgb` per element (exact for 0..255 ints)."""
+    r = jnp.floor(p / 65536.0)
+    rem = p - r * 65536.0
+    g = jnp.floor(rem / 256.0)
+    return r, g, rem - g * 256.0
 
 
 # ---------------------------------------------------------------------------
@@ -108,11 +135,21 @@ MAX_BRICKS_PER_CALL = 1024
 
 
 def _kernel_inplace(cfg: TSDFConfig, B: int, W: int, n_coarse: int,
-                    meta_ref, pose_ref, depth_ref,
-                    d0_ref, w0_ref, M0_ref, n0_ref,
-                    d1_ref, w1_ref, M1_ref, n1_ref):
-    """One grid step = one brick at block [1, 4, V/4]; slot-indexed blocks."""
+                    want_color: bool, meta_ref, pose_ref, depth_ref, *refs):
+    """One grid step = one brick at block [1, 4, V/4]; slot-indexed blocks.
+
+    Without color: refs = (d0, w0, M0, n0, d1, w1, M1, n1).
+    With color:    refs = (rgb, d0, w0, M0, n0, d1, w1, M1, n1, rgbp, weff)
+    where rgb is the packed color image, rgbp/weff are per-batch-brick aux
+    outputs (block [1, S, L] at grid index k)."""
     import math as _math
+
+    if want_color:
+        rgb_ref, refs = refs[0], refs[1:]
+    d0_ref, w0_ref, M0_ref, n0_ref = refs[:4]
+    d1_ref, w1_ref, M1_ref, n1_ref = refs[4:8]
+    if want_color:
+        rgbp_ref, weff_ref = refs[8], refs[9]
 
     V = B * B * B
     S, L = 4, V // 4
@@ -166,7 +203,9 @@ def _kernel_inplace(cfg: TSDFConfig, B: int, W: int, n_coarse: int,
 
     # depth lookup: per-sublane-chunk one-hot matmul + row-mask reduce
     band = depth_ref[pl.ds(v0, BAND_ROWS), :]                 # [BAND, W]
+    band_rgb = rgb_ref[pl.ds(v0, BAND_ROWS), :] if want_color else None
     z_chunks = []
+    p_chunks = []
     for c in range(S):
         u_c = u[c:c + 1, :]                                    # [1, L]
         col_iota = jax.lax.broadcasted_iota(jnp.int32, (W, L), 0)
@@ -176,6 +215,9 @@ def _kernel_inplace(cfg: TSDFConfig, B: int, W: int, n_coarse: int,
         row_iota = jax.lax.broadcasted_iota(jnp.int32, (BAND_ROWS, L), 0)
         row_mask = (row_iota == vrel).astype(f32)
         z_chunks.append(jnp.sum(m1 * row_mask, axis=0, keepdims=True))
+        if want_color:
+            m2 = jnp.dot(band_rgb, onehot, preferred_element_type=f32)
+            p_chunks.append(jnp.sum(m2 * row_mask, axis=0, keepdims=True))
     z_img = jnp.concatenate(z_chunks, axis=0)                  # [S, L]
 
     valid = (in_range & proj_ok & (z_img < NAN_SENTINEL / 2)
@@ -210,11 +252,18 @@ def _kernel_inplace(cfg: TSDFConfig, B: int, W: int, n_coarse: int,
     w1_ref[0] = jnp.where(valid, w_upd, w0)
     M1_ref[0] = jnp.where(valid, M_upd, M0)
     n1_ref[0] = jnp.where(valid, n_upd, n0)
+    if want_color:
+        # aux per-batch-brick outputs: packed color observation + effective
+        # weight, validity sign-encoded (the caller's color transform reads
+        # w_eff >= 0 as "this voxel received an in-band observation")
+        rgbp_ref[0] = jnp.concatenate(p_chunks, axis=0)
+        weff_ref[0] = jnp.where(valid, w_new, -1.0)
 
 
 @partial(jax.jit, static_argnums=(0, 1, 8), donate_argnums=(4, 5, 6, 7))
 def fuse_bricks_inplace(cfg: TSDFConfig, B: int, meta, pose_inv_flat, sdf,
-                        weight, M, nsample, interpret: bool = False, depth=None):
+                        weight, M, nsample, interpret: bool = False, depth=None,
+                        rgb_packed=None):
     """In-place brick fusion over the FULL volume arrays.
 
     meta: [K, 8] int32 (base_x/y/z, v0/8, ok, slot, 0, 0) — slot indexes the
@@ -222,6 +271,10 @@ def fuse_bricks_inplace(cfg: TSDFConfig, B: int, meta, pose_inv_flat, sdf,
     the last row as a write-off dump for inactive steps). Volume arrays are
     [C, B^3]-shaped (reshaped internally to [C, 4, B^3/4] for Mosaic tiling)
     and donated; outputs alias them, so untouched rows carry over for free.
+
+    With rgb_packed (see :func:`pack_rgb`) the return gains two [K, B^3] aux
+    arrays: the packed color observation per voxel and the effective fused
+    weight (negative = invalid), for the caller's XLA color transform.
     """
     K = meta.shape[0]
     V = B * B * B
@@ -229,46 +282,64 @@ def fuse_bricks_inplace(cfg: TSDFConfig, B: int, meta, pose_inv_flat, sdf,
     S, L = 4, V // 4
     W = depth.shape[1]
     n_coarse = 1 << cfg.num_coarse_levels
-    kern = partial(_kernel_inplace, cfg, B, W, n_coarse)
+    want_color = rgb_packed is not None
+    kern = partial(_kernel_inplace, cfg, B, W, n_coarse, want_color)
 
     def run_chunk(meta_c, arrays):
         sdf_, w_, M_, n_ = arrays
+        KC = meta_c.shape[0]
         slot_spec = pl.BlockSpec((1, S, L), lambda k, m: (m[k, 5], 0, 0),
                                  memory_space=pltpu.VMEM)
+        aux_spec = pl.BlockSpec((1, S, L), lambda k, m: (k, 0, 0),
+                                memory_space=pltpu.VMEM)
+        img_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + want_color)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(meta_c.shape[0],),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                slot_spec, slot_spec, slot_spec, slot_spec,
-            ],
-            out_specs=[slot_spec, slot_spec, slot_spec, slot_spec],
+            grid=(KC,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + img_specs
+            + [slot_spec, slot_spec, slot_spec, slot_spec],
+            out_specs=[slot_spec] * 4 + [aux_spec] * (2 * want_color),
         )
         out_shape = [
             jax.ShapeDtypeStruct((C, S, L), sdf_.dtype),
             jax.ShapeDtypeStruct((C, S, L), w_.dtype),
             jax.ShapeDtypeStruct((C, S, L), M_.dtype),
             jax.ShapeDtypeStruct((C, S, L), n_.dtype),
-        ]
-        return pl.pallas_call(
+        ] + [jax.ShapeDtypeStruct((KC, S, L), jnp.float32)] * (2 * want_color)
+        # flat input indices INCLUDE the scalar-prefetch arg:
+        # meta=0 pose=1 depth=2 [rgb=3] sdf/w/M/n follow
+        a0 = 3 + want_color
+        imgs = (depth, rgb_packed) if want_color else (depth,)
+        out = pl.pallas_call(
             kern,
             grid_spec=grid_spec,
             out_shape=out_shape,
-            # flat input indices INCLUDE the scalar-prefetch arg:
-            # meta=0 pose=1 depth=2 sdf=3 w=4 M=5 n=6
-            input_output_aliases={3: 0, 4: 1, 5: 2, 6: 3},
+            input_output_aliases={a0: 0, a0 + 1: 1, a0 + 2: 2, a0 + 3: 3},
             interpret=interpret,
-        )(meta_c, pose_inv_flat, depth, sdf_, w_, M_, n_)
+        )(meta_c, pose_inv_flat, *imgs, sdf_, w_, M_, n_)
+        return (out[:4], out[4:]) if want_color else (out, ())
 
     arrays = (sdf.reshape(C, S, L), weight.reshape(C, S, L),
               M.reshape(C, S, L), nsample.reshape(C, S, L))
+    aux_parts = []
     for s in range(0, K, MAX_BRICKS_PER_CALL):
         e = min(s + MAX_BRICKS_PER_CALL, K)
         mc = meta[s:e]
+
+        def skip_chunk(a, n=e - s):
+            aux = ((jnp.zeros((n, S, L)), jnp.full((n, S, L), -1.0))
+                   if want_color else ())
+            return a, aux
+
         # the active list is rank-compacted (actives form a prefix), so
         # trailing padding-only chunks skip the kernel entirely
-        arrays = jax.lax.cond(jnp.any(mc[:, 4] > 0),
-                              lambda a, m=mc: run_chunk(m, a),
-                              lambda a: a, arrays)
-    return tuple(a.reshape(C, V) for a in arrays)
+        arrays, aux = jax.lax.cond(jnp.any(mc[:, 4] > 0),
+                                   lambda a, m=mc: run_chunk(m, a),
+                                   skip_chunk, arrays)
+        aux_parts.append(aux)
+    state = tuple(a.reshape(C, V) for a in arrays)
+    if not want_color:
+        return state
+    rgbp = jnp.concatenate([p[0] for p in aux_parts], 0).reshape(K, V)
+    weff = jnp.concatenate([p[1] for p in aux_parts], 0).reshape(K, V)
+    return state + (rgbp, weff)

@@ -83,24 +83,42 @@ def _quant_scale(cfg: TSDFConfig) -> float:
     return 32000.0 / max(1.0, cfg.max_dist_pos / cfg.max_dist_neg)
 
 
+# int32 pair of two NAN_Q int16s (0x8000_8000)
+NAN_PAIR = int(np.array(0x80008000, np.uint32).view(np.int32))
+
+
 @partial(jax.jit, static_argnums=(1,))
 def make_render_pack(vol, r_budget: int = 4096) -> RenderPack:
     """Assemble haloed per-brick SDF tables from a BrickVolume.
 
     Row r of `tables` holds slot r's 16^3 neighborhood (voxels
-    [-HALO, B+HALO) per axis relative to the brick origin, z-fastest), NaN
-    where unobserved/unallocated. Row r_budget-1 is reserved all-NaN (used by
-    padding pairs). Cost: 27 sliced row-gathers over the active slots.
+    [-HALO, B+HALO) per axis relative to the brick origin, z-fastest,
+    int16-quantized z-pairs packed into int32 lanes; NAN_Q = unobserved/
+    unallocated). Row r_budget-1 is reserved all-NaN (used by padding pairs).
+
+    Build strategy (round 3): quantize+pack the raw volume ONCE into
+    [C, 8, 8, 4] int32 pairs, then assemble each table as a concat tree of
+    27 pair-aligned pieces row-gathered from the neighbors (the halo width 4
+    is even, so every z slice lands on pair boundaries). The previous
+    27x `.at[].set` into an [R,16,16,16] f32 intermediate forced repeated
+    full-buffer rewrites in an awkward (16,16) tiling — the same pathology
+    that cost the MC assembly 56 ms (bench/mc_probe2).
     """
     cfg = vol.config
     B = vol.brick_size
     assert B == 8, "render kernel assumes 8^3 bricks"
     nbx, nby, nbz = vol.bricks_per_axis
     C = vol.capacity
-    R = r_budget
+    # capacity's last row is the never-allocated kernel dump row, so clamping
+    # to C keeps the R-1 reservation sound for small volumes
+    R = min(r_budget, C)
 
+    # quantize + pack the raw volume once: [C, 8, 8, 4] int32 z-pairs
+    scale = _quant_scale(cfg)
     rd = jnp.where(vol.weight > 0, vol.sdf, jnp.nan).reshape(C, B, B, B)
-    rd_pad = jnp.concatenate([rd, jnp.full((1, B, B, B), jnp.nan)], 0)
+    q = jnp.where(jnp.isnan(rd), NAN_Q,
+                  jnp.clip(jnp.round(rd * scale), -32767, 32767)).astype(jnp.int32)
+    raw = (q[..., 1::2] << 16) | (q[..., 0::2] & 0xFFFF)     # [C, 8, 8, 4]
 
     # liveness comes from coords alone (unallocated rows are -1): volumes from
     # merge_sharded have per-device slot GAPS, so n_active is not a bound.
@@ -109,40 +127,53 @@ def make_render_pack(vol, r_budget: int = 4096) -> RenderPack:
     used = (coords[:, 0] >= 0) & (jnp.arange(R) < R - 1)
     truncated = (jnp.any(vol.coords[R - 1:, 0] >= 0)
                  if vol.capacity >= R else jnp.asarray(False))
-    tab = jnp.full((R, TDIM, TDIM, TDIM), jnp.nan)
     bmap_flat = vol.brick_map.reshape(-1)
 
-    for ox in (-1, 0, 1):
-        # source/destination x-slices for this neighbor offset
-        sx = slice(B - HALO, B) if ox < 0 else (slice(0, B) if ox == 0 else slice(0, HALO))
-        dx = slice(0, HALO) if ox < 0 else (slice(HALO, HALO + B) if ox == 0 else slice(HALO + B, TDIM))
-        for oy in (-1, 0, 1):
-            sy = slice(B - HALO, B) if oy < 0 else (slice(0, B) if oy == 0 else slice(0, HALO))
-            dy = slice(0, HALO) if oy < 0 else (slice(HALO, HALO + B) if oy == 0 else slice(HALO + B, TDIM))
-            for oz in (-1, 0, 1):
-                sz = slice(B - HALO, B) if oz < 0 else (slice(0, B) if oz == 0 else slice(0, HALO))
-                dz = slice(0, HALO) if oz < 0 else (slice(HALO, HALO + B) if oz == 0 else slice(HALO + B, TDIM))
-                nc = coords + jnp.asarray([ox, oy, oz])
-                ok = used & (nc[:, 0] >= 0) & (nc[:, 0] < nbx) & (nc[:, 1] >= 0) \
-                    & (nc[:, 1] < nby) & (nc[:, 2] >= 0) & (nc[:, 2] < nbz)
-                blin = (nc[:, 0] * nby + nc[:, 1]) * nbz + nc[:, 2]
-                nslot = jnp.take(bmap_flat, jnp.clip(blin, 0, nbx * nby * nbz - 1),
-                                 mode="clip")
-                nslot = jnp.where(ok & (nslot >= 0), nslot, C)
-                blk = rd_pad[:, sx, sy, sz][nslot]      # sliced row gather [R, ...]
-                tab = tab.at[:, dx, dy, dz].set(blk)
+    def neighbor_slot(ox, oy, oz):
+        nc = coords + jnp.asarray([ox, oy, oz])
+        ok = used & (nc[:, 0] >= 0) & (nc[:, 0] < nbx) & (nc[:, 1] >= 0) \
+            & (nc[:, 1] < nby) & (nc[:, 2] >= 0) & (nc[:, 2] < nbz)
+        blin = (nc[:, 0] * nby + nc[:, 1]) * nbz + nc[:, 2]
+        nslot = jnp.take(bmap_flat, jnp.clip(blin, 0, nbx * nby * nbz - 1),
+                         mode="clip")
+        return jnp.where(ok & (nslot >= 0), nslot, C)  # C -> fill
 
-    # quantize to int16 and pack z-pairs into int32 lanes (halves the
-    # kernel's per-lookup chunk scans; ~2e-5 value error)
-    scale = _quant_scale(cfg)
-    q = jnp.where(jnp.isnan(tab), NAN_Q,
-                  jnp.clip(jnp.round(tab * scale), -32767, 32767)).astype(jnp.int32)
-    q0 = q[..., 0::2]
-    q1 = q[..., 1::2]
-    packed = (q1 << 16) | (q0 & 0xFFFF)
+    HP = HALO // 2  # halo extent in pairs
+
+    def src_slice(o, pairs=False):
+        h = HP if pairs else HALO
+        n = B // 2 if pairs else B
+        return (slice(n - h, n) if o < 0 else
+                (slice(0, n) if o == 0 else slice(0, h)))
+
+    own = jnp.where(used[:, None], raw[:R].reshape(R, -1),
+                    NAN_PAIR).reshape(R, B, B, B // 2)
+
+    xparts = []
+    for ox in (-1, 0, 1):
+        sx = src_slice(ox)
+        yparts = []
+        for oy in (-1, 0, 1):
+            sy = src_slice(oy)
+            zparts = []
+            for oz in (-1, 0, 1):
+                sz = src_slice(oz, pairs=True)
+                if ox == oy == oz == 0:
+                    zparts.append(own)
+                    continue
+                src = raw[:, sx, sy, sz]
+                ex = sx.stop - (sx.start or 0)
+                ey = sy.stop - (sy.start or 0)
+                ez = sz.stop - (sz.start or 0)
+                piece = jnp.take(src.reshape(C, -1), neighbor_slot(ox, oy, oz),
+                                 axis=0, mode="fill", fill_value=NAN_PAIR)
+                zparts.append(piece.reshape(R, ex, ey, ez))
+            yparts.append(jnp.concatenate(zparts, 3))
+        xparts.append(jnp.concatenate(yparts, 2))
+    tab = jnp.concatenate(xparts, 1)                 # [R, 16, 16, 8] pairs
 
     return RenderPack(
-        tables=packed.reshape(R, 1, PTABLE),
+        tables=tab.reshape(R, 1, PTABLE),
         coords=jnp.where(used[:, None], coords, -1),
         n_active=jnp.sum(used.astype(jnp.int32)),
         truncated=truncated,
@@ -940,15 +971,25 @@ def render_view_pallas(vol, pose, downsample_by: int = 1, colored: bool = False,
     if not (isinstance(vol, BrickVolume) and vol.brick_size == 8):
         return render_view(vol, pose, downsample_by, colored=colored)
     if pack is None:
-        # gap-aware budget check: the highest LIVE row decides (merge_sharded
-        # volumes have per-device slot gaps, so n_active is not a bound)
-        if vol.capacity >= r_budget and bool(
+        # gap-aware budget sizing: the highest LIVE row decides (merge_sharded
+        # volumes have per-device slot gaps, so n_active is not a bound).
+        # Volumes beyond r_budget GROW the budget (pow2) instead of falling
+        # back to the slow XLA march — tables live in HBM, so the kernel
+        # handles the 2048^3 working point's full active set directly.
+        while vol.capacity > r_budget and bool(
                 jnp.any(vol.coords[r_budget - 1:, 0] >= 0)):
-            return render_view(vol, pose, downsample_by, colored=colored)
+            r_budget *= 2
         pack = make_render_pack(vol, r_budget)
-    res, overflow = _render_pallas_jit(pack, jnp.asarray(pose, jnp.float32),
-                                       downsample_by, pair_budget, colored,
-                                       interpret)
-    if bool(overflow):
-        return render_view(vol, pose, downsample_by, colored=colored)
-    return res
+    attempts = 0
+    while True:
+        res, overflow = _render_pallas_jit(pack, jnp.asarray(pose, jnp.float32),
+                                           downsample_by, pair_budget, colored,
+                                           interpret)
+        if not bool(overflow):
+            return res
+        attempts += 1
+        if attempts > 2 or pair_budget >= (1 << 18):
+            # per-brick tile-footprint overflow: the kernel can't cover it
+            return render_view(vol, pose, downsample_by, colored=colored)
+        # one generous jump (each budget value is a fresh jit trace)
+        pair_budget = min(1 << 18, max(pair_budget * 8, 1 << 16))

@@ -11,12 +11,12 @@ from cpu_tsdf_tpu.synthetic import sphere_depth
 from test_fusion import tilted_pose
 
 
-def _run(cfg, poses, depth, use_pallas):
+def _run(cfg, poses, depth, use_pallas, rgb=None):
     bv = make_brick_volume(cfg, brick_size=8, capacity=2048)
     # small update budget: interpret-mode pallas executes the grid serially
     for p in poses:
         bv = integrate_bricks(bv, jnp.asarray(depth), jnp.asarray(p, jnp.float32),
-                              None, 512, use_pallas, use_pallas)
+                              rgb, 512, use_pallas, use_pallas)
     return bv
 
 
@@ -49,6 +49,31 @@ def test_pallas_two_frames_matches_dense(small_cfg):
                                atol=2e-5)
     np.testing.assert_array_equal(np.asarray(bd.weight)[band],
                                   np.asarray(dense.weight)[band])
+
+
+@pytest.mark.parametrize("mode", ["RGB", "RGBNormalized", "LAB"])
+def test_pallas_color_fusion_matches_xla(small_cfg, mode):
+    """Color fused THROUGH the kernel (packed-image lookup + XLA transform on
+    the kernel's aux observations) matches the pure-XLA color path exactly —
+    same transform code consumes identical (r, g, b, w_eff) observations."""
+    cfg = small_cfg.with_updates(integrate_color=True, color_mode=mode)
+    poses = [tilted_pose(), tilted_pose(tx=0.063, ty=0.041, tz=-0.88)]
+    depth = sphere_depth(cfg, center=(-0.013, -0.021, 0.9), radius=0.3)
+    H, W = np.asarray(depth).shape
+    rng = np.random.default_rng(7)
+    rgb = jnp.asarray(rng.integers(0, 256, (H, W, 3)), jnp.float32)
+    bx = _run(cfg, poses, depth, use_pallas=False, rgb=rgb)
+    bp = _run(cfg, poses, depth, use_pallas=True, rgb=rgb)
+    assert bx.color is not None and bp.color is not None
+    np.testing.assert_array_equal(np.asarray(bp.weight), np.asarray(bx.weight))
+    obs = np.asarray(bx.weight) > 0
+    cx = np.asarray(bx.color)[obs]
+    cp = np.asarray(bp.color)[obs]
+    if mode == "RGB":
+        # trunc-after-update uint8 semantics round-trip exactly
+        np.testing.assert_array_equal(cp, cx)
+    else:
+        np.testing.assert_allclose(cp, cx, atol=1e-4)
 
 
 def test_pallas_weighting_options(small_cfg):

@@ -112,10 +112,13 @@ def test_kernel_prebuilt_pack_and_fallbacks(scene, renders):
     pack = make_render_pack(bv, 1024)
     assert int(pack.n_active) == int(bv.n_active)
     assert np.isfinite(np.asarray(pack.tables)).any()
-    # pair-budget overflow -> exact XLA fallback output
-    rf = render_view_pallas(bv, pose, colored=True, r_budget=1024,
-                            pair_budget=8, interpret=True)
-    np.testing.assert_array_equal(np.asarray(render_view(bv, pose, colored=True).depth),
+    # a non-8^3 brick volume cannot use the kernel -> exact XLA fallback
+    from cpu_tsdf_tpu.bricks import from_dense, to_dense
+
+    bv4 = from_dense(to_dense(bv), brick_size=4)
+    rf = render_view_pallas(bv4, pose, colored=True, r_budget=1024,
+                            pair_budget=4096, interpret=True)
+    np.testing.assert_array_equal(np.asarray(render_view(bv4, pose, colored=True).depth),
                                   np.asarray(rf.depth))
 
 
