@@ -13,8 +13,10 @@ Extra metrics in the same JSON object:
   raycast_vs_baseline     vs the CPU reference-design renderView
   mc_triangles_per_s      marching-cubes extraction throughput
   raycast_parity_ok       compiled-kernel-vs-XLA agreement on this TPU
-  integrate_2048_fps      (only with BENCH_FULL=1) the reference CLI's
-                          default working point, 2048^3 / 12 m
+  integrate_2048_fps      the reference CLI's default working point,
+  render_2048_rays_per_s  2048^3 / 12 m (skipped with BENCH_FAST=1)
+  *_hbm_util              modeled bytes-moved / peak HBM bandwidth — how far
+                          each path sits from speed-of-light (BASELINE.md)
 
 Baseline: bench/baseline_octree.cpp — a faithful re-creation of the
 reference's pointer-octree DESIGN (the reference itself needs PCL, which is
@@ -79,6 +81,41 @@ def measure_baseline():
     return result
 
 
+def count_pairs_host(cfg, pose, coords, B=8):
+    """Roofline helper: numpy restatement of the render kernel's
+    (brick x image-tile) footprint binning — how many 8 KB packed tables the
+    march streams from HBM for this view."""
+    from cpu_tsdf_tpu.ops.pallas_raycast import TILE_PX
+
+    inv = np.linalg.inv(np.asarray(pose, np.float64))
+    csx, csy, csz = cfg.xsize / cfg.xres, cfg.ysize / cfg.yres, cfg.zsize / cfg.zres
+    corners = []
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                x = (coords[:, 0] + dx) * B * csx - cfg.xsize / 2
+                y = (coords[:, 1] + dy) * B * csy - cfg.ysize / 2
+                z = (coords[:, 2] + dz) * B * csz - cfg.zsize / 2
+                p = inv[:3, :3] @ np.stack([x, y, z]) + inv[:3, 3:4]
+                corners.append(p)
+    W, H = cfg.image_width, cfg.image_height
+    TX, TY = -(-W // TILE_PX), -(-H // TILE_PX)
+    u = [c[0] * cfg.focal_length_x / np.maximum(c[2], 1e-3)
+         + cfg.principal_point_x for c in corners]
+    v = [c[1] * cfg.focal_length_y / np.maximum(c[2], 1e-3)
+         + cfg.principal_point_y for c in corners]
+    z = np.stack([c[2] for c in corners])
+    u_min, u_max = np.min(u, 0), np.max(u, 0)
+    v_min, v_max = np.min(v, 0), np.max(v, 0)
+    vis = (z.max(0) >= cfg.min_sensor_dist) & (z.min(0) <= cfg.max_sensor_dist) \
+        & (u_max >= -1) & (u_min <= W) & (v_max >= -1) & (v_min <= H)
+    nx = np.clip(np.floor(u_max + 1) // TILE_PX, 0, TX - 1) \
+        - np.clip(np.floor(u_min - 1) // TILE_PX, 0, TX - 1) + 1
+    ny = np.clip(np.floor(v_max + 1) // TILE_PX, 0, TY - 1) \
+        - np.clip(np.floor(v_min - 1) // TILE_PX, 0, TY - 1) + 1
+    return int(np.sum(np.where(vis, nx * ny, 0)))
+
+
 def tilted_pose():
     ax, ay = 0.03, -0.02
     Rx = np.array([[1, 0, 0], [0, np.cos(ax), -np.sin(ax)], [0, np.sin(ax), np.cos(ax)]])
@@ -89,9 +126,12 @@ def tilted_pose():
     return m.astype(np.float32)
 
 
+PEAK_HBM_GBPS = 819.0  # TPU v5e per-chip HBM2 bandwidth
+
+
 def main():
     profile = "--profile" in sys.argv
-    full = os.environ.get("BENCH_FULL") == "1" or "--full" in sys.argv
+    full = not (os.environ.get("BENCH_FAST") == "1" or "--fast" in sys.argv)
     if "--scaling" in sys.argv:
         # own process: virtual-device mesh needs XLA_FLAGS before jax import
         env = dict(os.environ,
@@ -161,6 +201,16 @@ def main():
     log(f"integrate median fps: {fps:.1f} (batches: {[round(f,1) for f in batch_fps]}); "
         f"overflow={bool(bv.overflowed)}")
 
+    # roofline: modeled HBM traffic / peak bandwidth (BASELINE.md north star).
+    # Integrate touches each active brick's d/w/M/n SoA rows (read+write) plus
+    # the padded depth image once per 1024-brick kernel chunk.
+    nb_act = int(bv.n_active)
+    img_bytes = 480 * 640 * 4
+    bytes_int = nb_act * 512 * 4 * 4 * 2 + img_bytes * -(-nb_act // 1024)
+    extra["integrate_hbm_util"] = round(bytes_int * fps / (PEAK_HBM_GBPS * 1e9), 4)
+    log(f"integrate roofline: ~{bytes_int/1e6:.1f} MB/frame -> "
+        f"{100*extra['integrate_hbm_util']:.2f}% of peak HBM")
+
     if profile:
         jax.profiler.stop_trace()
         log("profiler trace written to .profile/")
@@ -192,6 +242,20 @@ def main():
             extra["raycast_vs_baseline"] = round(
                 rays_per_s / baseline["raycast_rays_per_s"], 3)
         log(f"raycast: {rays_per_s/1e6:.2f} M rays/s (incl pack build)")
+
+        # roofline: the march streams one 8 KB packed table per (brick, tile)
+        # pair; the pack build reads sdf+weight rows [:R] and writes + the
+        # kernel re-reads each table row once
+        coords_h = np.asarray(pack.coords)
+        used_h = coords_h[:, 0] >= 0
+        npairs = count_pairs_host(cfg, np.asarray(pose), coords_h[used_h])
+        tb = int(pack.tables.shape[-1]) * 4
+        r_rows = int(pack.tables.shape[0])
+        bytes_ray = (r_rows * 512 * 4 * 2 + r_rows * tb * 2 + npairs * tb)
+        extra["raycast_hbm_util"] = round(
+            bytes_ray * rays_per_s / n_rays / (PEAK_HBM_GBPS * 1e9), 4)
+        log(f"raycast roofline: ~{bytes_ray/1e6:.1f} MB/render "
+            f"({npairs} pairs) -> {100*extra['raycast_hbm_util']:.2f}% of peak HBM")
 
         # compiled-kernel parity vs the XLA march on this chip (ds=4)
         rx = render_view(bv, pose, downsample_by=4)
@@ -239,6 +303,13 @@ def main():
         if baseline.get("mc_triangles_per_s"):
             extra["mc_vs_baseline"] = round(
                 mc_rate / baseline["mc_triangles_per_s"], 3)
+        # roofline: extraction reads each active brick's sdf+weight (~2x for
+        # halos) and writes the compacted soup (3 verts x 6 floats/tri)
+        bytes_mc = nb_act * 512 * 4 * 2 * 2 + n_tris * 3 * 6 * 4
+        extra["mc_hbm_util"] = round(
+            bytes_mc * mc_rate / n_tris / (PEAK_HBM_GBPS * 1e9), 4)
+        log(f"mc roofline: ~{bytes_mc/1e6:.1f} MB/extract -> "
+            f"{100*extra['mc_hbm_util']:.2f}% of peak HBM")
         t0 = time.time()
         v, fc, _ = soup.to_numpy()
         log(f"marching cubes: {n_tris} tris at {mc_rate/1e6:.2f} M tris/s "

@@ -214,17 +214,34 @@ def pick_tile_bricks(nb: Tuple[int, int, int]) -> int:
 
 def band_candidate_bricks(cfg: TSDFConfig, B: int, nb: Tuple[int, int, int],
                           mips: DepthMips, pose_inv, update_budget: int,
-                          tile_budget: int = 1024):
+                          tile_budget: int = 1024, x_slab=None):
     """Budgeted list of bricks intersecting this frame's truncation band.
 
     Returns (cand [update_budget] int32 brick linear ids (-1 pad), n_band,
     overflow). `pose_inv` maps volume frame -> camera frame.
+
+    x_slab=(bx_lo, nbw) restricts the result to bricks with
+    ``bx in [bx_lo, bx_lo + nbw)`` — the sharded integrate path's per-device
+    slab (parallel/bricks.py). bx_lo may be traced (it depends on
+    ``axis_index``); nbw must be static. The restriction happens at the
+    ITERATION level (only tile columns overlapping the slab are tested), so
+    per-device activation cost scales with the slab, not the volume, while
+    the per-brick tests are unchanged — the result is bit-equal to the
+    global list filtered to the slab (same ascending-linear-id order).
     """
     nbx, nby, nbz = nb
     TB = pick_tile_bricks(nb)
     ntx, nty, ntz = -(-nbx // TB), -(-nby // TB), -(-nbz // TB)
     NT = ntx * nty * ntz
-    tile_budget = min(tile_budget, NT)
+    if x_slab is None:
+        NT_iter, tx_off = NT, 0
+    else:
+        bx_lo, nbw = x_slab
+        # a [bx_lo, bx_lo+nbw) slab overlaps at most ceil(nbw/TB)+1 tile cols
+        ncols = min(ntx, -(-nbw // TB) + 1)
+        tx_off = jnp.minimum(jnp.asarray(bx_lo, jnp.int32) // TB, ntx - ncols)
+        NT_iter = ncols * nty * ntz
+    tile_budget = min(tile_budget, NT_iter)
     csx, csy, csz = cfg.cell_size
     R = jnp.asarray(pose_inv)[:3, :3]
     t = jnp.asarray(pose_inv)[:3, 3]
@@ -241,7 +258,7 @@ def band_candidate_bricks(cfg: TSDFConfig, B: int, nb: Tuple[int, int, int],
         return ccx, ccy, ccz, r
 
     # ---- tile pass -------------------------------------------------------
-    ti = jnp.arange(NT, dtype=jnp.int32)
+    ti = jnp.arange(NT_iter, dtype=jnp.int32) + tx_off * (nty * ntz)
     tx = ti // (nty * ntz)
     ty = (ti // ntz) % nty
     tz = ti % ntz
@@ -271,6 +288,9 @@ def band_candidate_bricks(cfg: TSDFConfig, B: int, nb: Tuple[int, int, int],
     by = tty[:, None] * TB + ly[None, :]
     bz = ttz[:, None] * TB + lz[None, :]
     in_grid = (bx < nbx) & (by < nby) & (bz < nbz) & tile_ok[:, None]
+    if x_slab is not None:
+        # boundary tile columns may straddle the slab edge
+        in_grid &= (bx >= bx_lo) & (bx < bx_lo + nbw)
     bx0 = bx.astype(jnp.float32) * (B * csx)
     by0 = by.astype(jnp.float32) * (B * csy)
     bz0 = bz.astype(jnp.float32) * (B * csz)
@@ -280,9 +300,16 @@ def band_candidate_bricks(cfg: TSDFConfig, B: int, nb: Tuple[int, int, int],
     # tile-level footprint depth bounds, shared by the tile's bricks: the
     # arithmetic refine — each brick's camera-z range against its tile's
     # [dmin, dmax] — needs no further image lookups.
+    # recomputed from the tile's GLOBAL coords (under x_slab the position in
+    # x0/x1 no longer matches the tile's linear id, so no take here)
+    sx0 = ttx.astype(jnp.float32) * (TB * B * csx)
+    sy0 = tty.astype(jnp.float32) * (TB * B * csy)
+    sz0 = ttz.astype(jnp.float32) * (TB * B * csz)
     tccx, tccy, tccz, tr = cam_center_radius(
-        jnp.take(x0, tsafe), jnp.take(y0, tsafe), jnp.take(z0, tsafe),
-        jnp.take(x1, tsafe), jnp.take(y1, tsafe), jnp.take(z1, tsafe))
+        sx0, sy0, sz0,
+        jnp.minimum(sx0 + TB * B * csx, cfg.xsize),
+        jnp.minimum(sy0 + TB * B * csy, cfg.ysize),
+        jnp.minimum(sz0 + TB * B * csz, cfg.zsize))
     t_usable, t_dmin, t_dmax = _sphere_footprint(cfg, mips, tccx, tccy, tccz, tr)
     zb_lo, zb_hi = bcz - br, bcz + br
     z_refine = ((zb_lo <= t_dmax[:, None] + m_lo) & (zb_hi >= t_dmin[:, None] - m_hi)) \

@@ -279,9 +279,6 @@ def integrate_bricks(vol: BrickVolume, depth, pose, rgb=None,
     Bricks the kernel cannot handle (footprint taller than its depth band)
     fall back to the XLA path.
     """
-    from .ops import color as color_ops
-    from .ops.fusion import compute_observation
-
     from .activation import band_candidate_bricks, depth_mips
 
     cfg = vol.config
@@ -306,12 +303,39 @@ def integrate_bricks(vol: BrickVolume, depth, pose, rgb=None,
     bsafe = jnp.maximum(bids, 0)
     slots = jnp.take(vol.brick_map.reshape(-1), bsafe, mode="clip")
     slot_ok = active_ok & (slots >= 0)
-    slots = jnp.where(slot_ok, slots, vol.capacity)  # dump row
-
-    # voxel centers for each brick in the batch: [K, B, B, B]
     bx = bsafe // (nby * nbz)
     by = (bsafe // nbz) % nby
     bz = bsafe % nbz
+    new_sdf, new_w, new_M, new_n, new_color = fuse_brick_batch(
+        cfg, B, bx, by, bz, slot_ok, slots,
+        vol.sdf, vol.weight, vol.M, vol.nsample, vol.color,
+        depth, pose_inv, rgb, use_pallas, pallas_interpret)
+    return dataclasses.replace(
+        vol, sdf=new_sdf, weight=new_w, M=new_M, nsample=new_n,
+        color=new_color, overflowed=vol.overflowed | overflow)
+
+
+def fuse_brick_batch(cfg: TSDFConfig, B: int, bx, by, bz, slot_ok, slots,
+                     sdf, weight, M, nsample, color, depth, pose_inv,
+                     rgb=None, use_pallas: bool = False,
+                     pallas_interpret: bool = False):
+    """Fuse one frame's budgeted brick batch into [C, B, B, B] SoA arrays.
+
+    The shared per-batch update behind both the single-device volume
+    (:func:`integrate_bricks`) and the slab-sharded shard_map body
+    (:mod:`cpu_tsdf_tpu.parallel.bricks`, where the arrays are the device's
+    LOCAL slot partition and `slots` are local row ids). bx/by/bz are GLOBAL
+    brick-grid coords [K] (they fix world positions); rows with slot_ok False
+    are dumped. With use_pallas, row C-1 must be a reserved never-allocated
+    dump row. Returns (sdf, weight, M, nsample, color) updated.
+    """
+    from .ops import color as color_ops
+    from .ops.fusion import compute_observation
+
+    C = sdf.shape[0]
+    slots = jnp.where(slot_ok, slots, C)  # C -> dump (mode="drop" skips)
+
+    # voxel centers for each brick in the batch: [K, B, B, B]
     lx = jnp.arange(B, dtype=jnp.int32)
     vx = bx[:, None, None, None] * B + lx[None, :, None, None]
     vy = by[:, None, None, None] * B + lx[None, None, :, None]
@@ -322,12 +346,12 @@ def integrate_bricks(vol: BrickVolume, depth, pose, rgb=None,
 
     # gather current state for the update batch (clipped row gather; invalid
     # rows are masked by `valid`, so their content is irrelevant)
-    slots_c = jnp.clip(slots, 0, vol.capacity - 1)
+    slots_c = jnp.clip(slots, 0, C - 1)
 
     def g(a):
         return jnp.take(a, slots_c, axis=0)
 
-    d0, w0, M0, n0 = g(vol.sdf), g(vol.weight), g(vol.M), g(vol.nsample)
+    d0, w0, M0, n0 = g(sdf), g(weight), g(M), g(nsample)
 
     if cfg.frustum_culling:
         from .ops.fusion import coarse_cell_frustum
@@ -356,14 +380,13 @@ def integrate_bricks(vol: BrickVolume, depth, pose, rgb=None,
         nu = jnp.where(valid, nu, n0)
         return du, wu, Mu, nu, valid, w_eff, u, v
 
-    color_active = vol.color is not None and rgb is not None
+    color_active = color is not None and rgb is not None
     if use_pallas:
         from .ops.pallas_fusion import (brick_meta, fuse_bricks_inplace,
                                         pack_rgb, pad_depth, unpack_rgb)
 
-        K = bsafe.shape[0]
+        K = bx.shape[0]
         V = B * B * B
-        C = vol.capacity
         meta, kernel_ok = brick_meta(cfg, B, bx, by, bz, slot_ok, pose_inv)
         # slot column: inactive/oversize bricks write to the reserved dump row
         # C-1 (never allocated — see _allocate), reading/writing it unchanged
@@ -381,7 +404,7 @@ def integrate_bricks(vol: BrickVolume, depth, pose, rgb=None,
             du, wu, Mu, nu, valid, w_eff, u, v = xla_update()
             out = (du, wu, Mu, nu)
             if color_active:
-                c0 = jnp.take(vol.color, slots_c, axis=0)
+                c0 = jnp.take(color, slots_c, axis=0)
                 rr = _gather_img(rgb[..., 0], v, u)
                 gg = _gather_img(rgb[..., 1], v, u)
                 bb = _gather_img(rgb[..., 2], v, u)
@@ -390,18 +413,21 @@ def integrate_bricks(vol: BrickVolume, depth, pose, rgb=None,
             return out
 
         def zero_fb(_):
-            z = jnp.zeros((K, B, B, B))
-            out = (z, z, z, jnp.zeros((K, B, B, B), n0.dtype))
+            # derived from the (possibly device-varying) batch state so both
+            # cond branches agree on varying-axis types under shard_map
+            z = w0 * 0.0
+            out = (z, z, z, n0 * 0)
             if color_active:
-                out += (jnp.zeros((K, B, B, B, vol.color.shape[-1])),)
+                out += (jnp.broadcast_to(z[..., None],
+                                         z.shape + (color.shape[-1],)),)
             return out
 
         fb = jax.lax.cond(need_fb, compute_fb, zero_fb, None)
 
         out = fuse_bricks_inplace(
             cfg, B, meta, pose_flat,
-            vol.sdf.reshape(C, V), vol.weight.reshape(C, V),
-            vol.M.reshape(C, V), vol.nsample.reshape(C, V),
+            sdf.reshape(C, V), weight.reshape(C, V),
+            M.reshape(C, V), nsample.reshape(C, V),
             pallas_interpret, depth=depth_c,
             rgb_packed=pack_rgb(rgb) if color_active else None)
         d1f, w1f, M1f, n1f = out[:4]
@@ -411,7 +437,7 @@ def integrate_bricks(vol: BrickVolume, depth, pose, rgb=None,
         new_M = M1f.reshape(shape4)
         new_n = n1f.reshape(shape4)
 
-        new_color = vol.color
+        new_color = color
         if color_active:
             # color transform in XLA over the kernel's aux observations
             # (K rows — no image gathers anywhere)
@@ -420,12 +446,12 @@ def integrate_bricks(vol: BrickVolume, depth, pose, rgb=None,
             rr, gg, bb = unpack_rgb(rgbp.reshape(k4))
             weff = weff.reshape(k4)
             cvalid = (weff >= 0) & (slot_ok & kernel_ok)[:, None, None, None]
-            c0 = jnp.take(vol.color, slots_c, axis=0)
+            c0 = jnp.take(color, slots_c, axis=0)
             cu = color_ops.update_color(cfg.color_mode, c0, w0, rr, gg, bb,
                                         jnp.maximum(weff, 0.0))
             cu = jnp.where(cvalid[..., None], cu, c0)
             col_slots = jnp.where(slot_ok & kernel_ok, slots, C)  # C -> dropped
-            new_color = vol.color.at[col_slots].set(cu, mode="drop")
+            new_color = color.at[col_slots].set(cu, mode="drop")
 
         def apply_fb(state):
             sdf_, w_, M_, n_ = state[:4]
@@ -445,31 +471,25 @@ def integrate_bricks(vol: BrickVolume, depth, pose, rgb=None,
         if color_active:
             new_color = state[4]
         new_sdf, new_w, new_M, new_n = state[:4]
-        return dataclasses.replace(
-            vol, sdf=new_sdf, weight=new_w, M=new_M, nsample=new_n,
-            color=new_color, overflowed=vol.overflowed | overflow)
+        return new_sdf, new_w, new_M, new_n, new_color
 
     d1, w1, M1, n1, valid, w_eff, u, v = xla_update()
-    new_color = vol.color
+    new_color = color
     if color_active:
-        c0 = jnp.take(vol.color, slots_c, axis=0)
+        c0 = jnp.take(color, slots_c, axis=0)
         rr = _gather_img(rgb[..., 0], v, u)
         gg = _gather_img(rgb[..., 1], v, u)
         bb = _gather_img(rgb[..., 2], v, u)
         cu = color_ops.update_color(cfg.color_mode, c0, w0, rr, gg, bb, w_eff)
         cu = jnp.where(valid[..., None], cu, c0)
-        new_color = vol.color.at[slots].set(cu, mode="drop")
+        new_color = color.at[slots].set(cu, mode="drop")
 
-    # invalid rows carry slot == capacity, which mode="drop" skips — so they
-    # never clobber real slots (in particular not the clipped slot they read)
+    # invalid rows carry slot == C, which mode="drop" skips — so they never
+    # clobber real slots (in particular not the clipped slot they read)
     def s(a, upd):
         return a.at[slots].set(upd, mode="drop")
 
-    return dataclasses.replace(
-        vol,
-        sdf=s(vol.sdf, d1), weight=s(vol.weight, w1), M=s(vol.M, M1),
-        nsample=s(vol.nsample, n1), color=new_color,
-        overflowed=vol.overflowed | overflow)
+    return s(sdf, d1), s(weight, w1), s(M, M1), s(nsample, n1), new_color
 
 
 def _gather_img(img, v, u):

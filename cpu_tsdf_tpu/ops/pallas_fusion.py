@@ -327,7 +327,10 @@ def fuse_bricks_inplace(cfg: TSDFConfig, B: int, meta, pose_inv_flat, sdf,
         mc = meta[s:e]
 
         def skip_chunk(a, n=e - s):
-            aux = ((jnp.zeros((n, S, L)), jnp.full((n, S, L), -1.0))
+            # aux zeros derive from the carried state so both cond branches
+            # agree on varying-axis types under shard_map
+            z0 = 0.0 * a[0][0, 0, 0]
+            aux = ((jnp.zeros((n, S, L)) + z0, jnp.full((n, S, L), -1.0) + z0)
                    if want_color else ())
             return a, aux
 

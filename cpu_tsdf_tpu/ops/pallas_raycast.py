@@ -113,12 +113,15 @@ def make_render_pack(vol, r_budget: int = 4096) -> RenderPack:
     # to C keeps the R-1 reservation sound for small volumes
     R = min(r_budget, C)
 
-    # quantize + pack the raw volume once: [C, 8, 8, 4] int32 z-pairs
+    # quantize + pack only slot rows < R: live slots all sit below R after
+    # the callers' budget growth (rows beyond R surface as `truncated`), and
+    # the former full-capacity quantize streamed C*4 KB of sdf+weight per
+    # pack build — 134 MB at the default 32k capacity for ~2k live bricks
     scale = _quant_scale(cfg)
-    rd = jnp.where(vol.weight > 0, vol.sdf, jnp.nan).reshape(C, B, B, B)
+    rd = jnp.where(vol.weight[:R] > 0, vol.sdf[:R], jnp.nan)
     q = jnp.where(jnp.isnan(rd), NAN_Q,
                   jnp.clip(jnp.round(rd * scale), -32767, 32767)).astype(jnp.int32)
-    raw = (q[..., 1::2] << 16) | (q[..., 0::2] & 0xFFFF)     # [C, 8, 8, 4]
+    raw = (q[..., 1::2] << 16) | (q[..., 0::2] & 0xFFFF)     # [R, 8, 8, 4]
 
     # liveness comes from coords alone (unallocated rows are -1): volumes from
     # merge_sharded have per-device slot GAPS, so n_active is not a bound.
@@ -136,7 +139,9 @@ def make_render_pack(vol, r_budget: int = 4096) -> RenderPack:
         blin = (nc[:, 0] * nby + nc[:, 1]) * nbz + nc[:, 2]
         nslot = jnp.take(bmap_flat, jnp.clip(blin, 0, nbx * nby * nbz - 1),
                          mode="clip")
-        return jnp.where(ok & (nslot >= 0), nslot, C)  # C -> fill
+        # R -> fill (take mode="fill" pads any index >= R, which also covers
+        # live neighbors beyond the budget on `truncated` volumes)
+        return jnp.where(ok & (nslot >= 0), nslot, R)
 
     HP = HALO // 2  # halo extent in pairs
 
@@ -146,7 +151,7 @@ def make_render_pack(vol, r_budget: int = 4096) -> RenderPack:
         return (slice(n - h, n) if o < 0 else
                 (slice(0, n) if o == 0 else slice(0, h)))
 
-    own = jnp.where(used[:, None], raw[:R].reshape(R, -1),
+    own = jnp.where(used[:, None], raw.reshape(R, -1),
                     NAN_PAIR).reshape(R, B, B, B // 2)
 
     xparts = []
@@ -165,7 +170,7 @@ def make_render_pack(vol, r_budget: int = 4096) -> RenderPack:
                 ex = sx.stop - (sx.start or 0)
                 ey = sy.stop - (sy.start or 0)
                 ez = sz.stop - (sz.start or 0)
-                piece = jnp.take(src.reshape(C, -1), neighbor_slot(ox, oy, oz),
+                piece = jnp.take(src.reshape(R, -1), neighbor_slot(ox, oy, oz),
                                  axis=0, mode="fill", fill_value=NAN_PAIR)
                 zparts.append(piece.reshape(R, ex, ey, ez))
             yparts.append(jnp.concatenate(zparts, 3))

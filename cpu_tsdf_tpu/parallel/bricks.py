@@ -13,9 +13,13 @@ the sharded arrays back yields a plain, valid :class:`BrickVolume`
 (``merge_sharded``) that every single-device op (render, marching cubes,
 field queries, checkpointing) consumes unchanged.
 
-The Pallas fusion kernel is single-device-only for now (Pallas-in-shard_map
-on this toolchain is round-2 work); the sharded body uses the XLA update
-path, which GSPMD keeps device-local.
+The per-frame update inside the shard_map body is the SAME code as the
+single-device path (:func:`cpu_tsdf_tpu.bricks.fuse_brick_batch`) over each
+device's local slot partition — including the Pallas fusion kernel
+(use_pallas) and color fusion (rgb). Activation is slab-restricted
+(``band_candidate_bricks(x_slab=...)``): each device only tests tile columns
+overlapping its x-slab, so per-device activation cost scales with the slab,
+not the volume, while staying bit-equal to the single-device active set.
 """
 
 from __future__ import annotations
@@ -68,9 +72,10 @@ def make_sharded_brick_volume(cfg: TSDFConfig, mesh: Mesh, brick_size: int = 8,
     )
 
 
-@partial(jax.jit, static_argnums=(3, 4), donate_argnums=(0,))
-def _integrate_sharded_jit(bv: BrickVolume, depth, pose, update_budget: int,
-                           mesh: Mesh) -> BrickVolume:
+@partial(jax.jit, static_argnums=(4, 5, 6, 7), donate_argnums=(0,))
+def _integrate_sharded_jit(bv: BrickVolume, depth, rgb, pose,
+                           update_budget: int, mesh: Mesh, use_pallas: bool,
+                           pallas_interpret: bool) -> BrickVolume:
     cfg = bv.config
     B = bv.brick_size
     D = mesh.devices.size
@@ -79,37 +84,44 @@ def _integrate_sharded_jit(bv: BrickVolume, depth, pose, update_budget: int,
     nbx_local = nbx // D
     pose = jnp.asarray(pose, jnp.float32)
     pose_inv = rigid_inverse(pose)
+    has_color = bv.color is not None and rgb is not None
 
-    def body(brick_map_l, n_active_l, coords_l, sdf_l, w_l, M_l, n_l, ovf,
-             depth_r, pose_r, pose_inv_r):
-        from ..activation import _compact, band_candidate_bricks, depth_mips
+    def body(*args):
+        from ..activation import band_candidate_bricks, depth_mips
+        from ..bricks import fuse_brick_batch
+
+        brick_map_l, n_active_l, coords_l, sdf_l, w_l, M_l, n_l = args[:7]
+        i = 7
+        col_l = args[i] if has_color else None
+        i += int(has_color)
+        ovf, depth_r = args[i], args[i + 1]
+        i += 2
+        rgb_r = args[i] if has_color else None
+        i += int(has_color)
+        pose_inv_r = args[i]
 
         dev = jax.lax.axis_index(AXIS)
         bx0 = dev * nbx_local
 
-        # ---- band activation: replicated hierarchical candidate list ----
-        # Every device computes the IDENTICAL global candidate list (inputs
-        # are replicated), then filters to its own x-slab — this keeps the
-        # sharded brick set bit-equal to the single-device one with zero
-        # collectives.
+        # ---- slab-restricted band activation (zero collectives): each
+        # device tests only tile columns overlapping its x-slab; the result
+        # is bit-equal to the global candidate list filtered to the slab ----
         mips = depth_mips(depth_r)
-        cand_g, _, overflow = band_candidate_bricks(
-            cfg, B, (nbx, nby, nbz), mips, pose_inv_r, update_budget * D)
-        gok = cand_g >= 0
-        gsafe = jnp.maximum(cand_g, 0)
-        bxc = gsafe // (nby * nbz)
-        local = gok & (bxc >= bx0) & (bxc < bx0 + nbx_local)
-        llin = (bxc - bx0) * (nby * nbz) + gsafe % (nby * nbz)
-        bids, n_band = _compact(local, llin, update_budget)
-        overflow |= n_band > update_budget
-        active_ok = bids >= 0
-        bsafe = jnp.maximum(bids, 0)
+        cand, n_band, overflow = band_candidate_bricks(
+            cfg, B, (nbx, nby, nbz), mips, pose_inv_r, update_budget,
+            x_slab=(bx0, nbx_local))
+        gok = cand >= 0
+        gsafe = jnp.maximum(cand, 0)
+        bx = gsafe // (nby * nbz)
+        by = (gsafe // nbz) % nby
+        bz = gsafe % nbz
+        llin = jnp.where(gok, (bx - bx0) * (nby * nbz) + gsafe % (nby * nbz), 0)
 
         # ---- local allocation (bricks.py:_allocate_from_list, local slots) --
         usable = C_local - 1
         n_act = n_active_l[0]
-        cur = jnp.take(brick_map_l.reshape(-1), bsafe, mode="clip")
-        is_new = active_ok & (cur < 0)
+        cur = jnp.take(brick_map_l.reshape(-1), llin, mode="clip")
+        is_new = gok & (cur < 0)
         rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
         n_new = jnp.sum(is_new.astype(jnp.int32))
         slots = n_act + rank                     # local slot ids
@@ -117,84 +129,74 @@ def _integrate_sharded_jit(bv: BrickVolume, depth, pose, update_budget: int,
         okb = is_new & (slots < usable)
         gslot = dev * C_local + slots            # global slot ids in the map
         nbtot_l = nbx_local * nby * nbz
-        brick_map_l = brick_map_l.reshape(-1).at[jnp.where(okb, bsafe, nbtot_l)].set(
+        brick_map_l = brick_map_l.reshape(-1).at[jnp.where(okb, llin, nbtot_l)].set(
             jnp.where(okb, gslot, 0), mode="drop",
             unique_indices=True).reshape(brick_map_l.shape)
-        bc = jnp.stack([bsafe // (nby * nbz) + bx0, (bsafe // nbz) % nby,
-                        bsafe % nbz], -1)
+        bc = jnp.stack([bx, by, bz], -1)
         slots_safe = jnp.where(okb, slots, C_local)
         coords_l = coords_l.at[slots_safe].set(jnp.where(okb[:, None], bc, 0),
                                                mode="drop")
         n_act = jnp.minimum(n_act + n_new, usable).astype(jnp.int32)
-        gslots = jnp.take(brick_map_l.reshape(-1), bsafe, mode="clip")
-        slot_ok = active_ok & (gslots >= 0)
+        gslots = jnp.take(brick_map_l.reshape(-1), llin, mode="clip")
+        slot_ok = gok & (gslots >= 0)
         lslots = jnp.where(slot_ok, gslots - dev * C_local, C_local)
-        lslots_c = jnp.clip(lslots, 0, C_local - 1)
 
-        bx = bsafe // (nby * nbz) + bx0
-        by = (bsafe // nbz) % nby
-        bz = bsafe % nbz
-        li = jnp.arange(B, dtype=jnp.int32)
-        vx = bx[:, None, None, None] * B + li[None, :, None, None]
-        vy = by[:, None, None, None] * B + li[None, None, :, None]
-        vz = bz[:, None, None, None] * B + li[None, None, None, :]
-        cx = (vx.astype(jnp.float32) + 0.5) * (cfg.xsize / cfg.xres) - cfg.xsize / 2
-        cy = (vy.astype(jnp.float32) + 0.5) * (cfg.ysize / cfg.yres) - cfg.ysize / 2
-        cz = (vz.astype(jnp.float32) + 0.5) * (cfg.zsize / cfg.zres) - cfg.zsize / 2
-
-        from ..ops.fusion import compute_observation, fuse_observation
-
-        d_obs, w_obs, valid, _, _, _ = compute_observation(
-            cfg, depth_r, pose_inv_r, cx, cy, cz)
-        if cfg.frustum_culling:
-            from ..ops.fusion import coarse_cell_frustum
-
-            valid &= coarse_cell_frustum(cfg, pose_inv_r, vx, vy, vz)
-        valid &= slot_ok[:, None, None, None]
-
-        d0 = jnp.take(sdf_l, lslots_c, axis=0)
-        w0 = jnp.take(w_l, lslots_c, axis=0)
-        M0 = jnp.take(M_l, lslots_c, axis=0)
-        n0 = jnp.take(n_l, lslots_c, axis=0)
-        if cfg.weight_by_variance:
-            from ..ops.fusion import voxel_variance
-
-            var = voxel_variance(M0, w0, n0)
-            w_obs = w_obs * jnp.where(n0 > 5,
-                                      jnp.exp(-((d_obs - d0) ** 2) / (2.0 * var)), 1.0)
-        d1, w1, M1, n1 = fuse_observation(d0, w0, M0, n0, d_obs, w_obs, cfg.max_weight)
-        d1 = jnp.where(valid, d1, d0)
-        w1 = jnp.where(valid, w1, w0)
-        M1 = jnp.where(valid, M1, M0)
-        n1 = jnp.where(valid, n1, n0)
-        sdf_l = sdf_l.at[lslots].set(d1, mode="drop")
-        w_l = w_l.at[lslots].set(w1, mode="drop")
-        M_l = M_l.at[lslots].set(M1, mode="drop")
-        n_l = n_l.at[lslots].set(n1, mode="drop")
+        # ---- the SAME batched update as the single-device path (including
+        # the Pallas kernel and color), over the local slot partition ----
+        sdf_l, w_l, M_l, n_l, col_l = fuse_brick_batch(
+            cfg, B, bx, by, bz, slot_ok, lslots,
+            sdf_l, w_l, M_l, n_l, col_l, depth_r, pose_inv_r, rgb_r,
+            use_pallas, pallas_interpret)
 
         ovf = ovf | (jax.lax.pmax(overflow.astype(jnp.int32), AXIS) > 0)
-        return (brick_map_l, n_act[None], coords_l, sdf_l, w_l, M_l, n_l, ovf)
+        res = (brick_map_l, n_act[None], coords_l, sdf_l, w_l, M_l, n_l)
+        if has_color:
+            res += (col_l,)
+        return res + (ovf,)
 
     spec_v = P(AXIS)
-    out = shard_map(
-        body, mesh=mesh,
-        in_specs=(spec_v, spec_v, spec_v, spec_v, spec_v, spec_v, spec_v, P(),
-                  P(), P(), P()),
-        out_specs=(spec_v, spec_v, spec_v, spec_v, spec_v, spec_v, spec_v, P()),
-    )(bv.brick_map, bv.n_active, bv.coords, bv.sdf, bv.weight, bv.M,
-      bv.nsample, bv.overflowed, depth, pose, pose_inv)
-    brick_map, n_active, coords, sdf, weight, M, nsample, ovf = out
+    ins = [bv.brick_map, bv.n_active, bv.coords, bv.sdf, bv.weight, bv.M,
+           bv.nsample]
+    in_specs = [spec_v] * 7
+    if has_color:
+        ins.append(bv.color)
+        in_specs.append(spec_v)
+    ins += [bv.overflowed, depth]
+    in_specs += [P(), P()]
+    if has_color:
+        ins.append(rgb)
+        in_specs.append(P())
+    ins.append(pose_inv)
+    in_specs.append(P())
+    out_specs = tuple([spec_v] * (7 + int(has_color)) + [P()])
+    # check_vma=False: pallas_call inside the body has no way to annotate its
+    # out_shapes' varying axes (jax.ShapeDtypeStruct vma) without threading
+    # mesh axis names into the kernel module; the specs above are explicit
+    out = shard_map(body, mesh=mesh, in_specs=tuple(in_specs),
+                    out_specs=out_specs, check_vma=False)(*ins)
+    brick_map, n_active, coords, sdf, weight, M, nsample = out[:7]
+    color = out[7] if has_color else bv.color
+    ovf = out[-1]
     return dataclasses.replace(
         bv, brick_map=brick_map, n_active=n_active, coords=coords, sdf=sdf,
-        weight=weight, M=M, nsample=nsample, overflowed=ovf)
+        weight=weight, M=M, nsample=nsample, color=color, overflowed=ovf)
 
 
 def integrate_bricks_sharded(bv: BrickVolume, depth, pose, mesh: Mesh,
-                             update_budget: int = 1 << 12) -> BrickVolume:
-    """Fuse one frame into a slab-sharded brick volume (zero collectives)."""
+                             update_budget: int = 1 << 12, rgb=None,
+                             use_pallas: bool = False,
+                             pallas_interpret: bool = False) -> BrickVolume:
+    """Fuse one frame into a slab-sharded brick volume (zero collectives).
+
+    With use_pallas the per-voxel update runs in the Pallas fusion kernel
+    INSIDE the shard_map body (one kernel launch per device, each over its
+    own slot partition); rgb enables color fusion, same semantics as
+    :func:`cpu_tsdf_tpu.bricks.integrate_bricks`."""
     return _integrate_sharded_jit(bv, jnp.asarray(depth),
+                                  None if rgb is None else jnp.asarray(rgb),
                                   jnp.asarray(pose, jnp.float32),
-                                  update_budget, mesh)
+                                  update_budget, mesh, use_pallas,
+                                  pallas_interpret)
 
 
 def merge_sharded(bv: BrickVolume, device=None) -> BrickVolume:

@@ -93,3 +93,44 @@ def test_sharded_bricks_render_and_mesh(mesh, scene):
     rr = np.linalg.norm(v - np.array([-0.0, -0.0, 0.0]), axis=1)
     # vertices near the fused sphere surface (r=0.3 around volume origin-ish)
     assert np.abs(np.median(rr) - 0.3) < 0.05
+
+
+def test_sharded_pallas_kernel_matches_xla(mesh, scene):
+    """The Pallas fusion kernel runs INSIDE the shard_map body (interpret
+    mode on the CPU mesh) and matches the sharded XLA update."""
+    cfg, pose, depth = scene
+    sx = make_sharded_brick_volume(cfg, mesh, 8, capacity_per_device=512)
+    sp = make_sharded_brick_volume(cfg, mesh, 8, capacity_per_device=512)
+    sx = integrate_bricks_sharded(sx, depth, pose, mesh, update_budget=128)
+    sp = integrate_bricks_sharded(sp, depth, pose, mesh, update_budget=128,
+                                  use_pallas=True, pallas_interpret=True)
+    assert not bool(np.asarray(sp.overflowed))
+    mx, mp = merge_sharded(sx), merge_sharded(sp)
+    np.testing.assert_array_equal(np.asarray(mp.weight), np.asarray(mx.weight))
+    np.testing.assert_array_equal(np.asarray(mp.nsample), np.asarray(mx.nsample))
+    np.testing.assert_allclose(np.asarray(mp.sdf), np.asarray(mx.sdf), atol=1e-5)
+
+
+def test_sharded_color_fusion_matches_single_device(mesh, scene):
+    """Color fuses in the sharded path (kernel + XLA) identically to the
+    single-device brick path."""
+    cfg, pose, depth = scene
+    cfg = cfg.with_updates(integrate_color=True, color_mode="RGB")
+    rng = np.random.default_rng(3)
+    rgb = jnp.asarray(rng.integers(0, 256, np.asarray(depth).shape + (3,)),
+                      jnp.float32)
+    single = make_brick_volume(cfg, 8, 2048)
+    single = integrate_bricks(single, jnp.asarray(depth),
+                              jnp.asarray(pose, jnp.float32), rgb)
+    for use_pallas in (False, True):
+        sb = make_sharded_brick_volume(cfg, mesh, 8, capacity_per_device=512)
+        sb = integrate_bricks_sharded(sb, depth, pose, mesh, update_budget=128,
+                                      rgb=rgb, use_pallas=use_pallas,
+                                      pallas_interpret=use_pallas)
+        md = to_dense(merge_sharded(sb))
+        sd = to_dense(single)
+        obs = np.asarray(sd.weight) > 0
+        np.testing.assert_array_equal(np.asarray(md.weight)[obs],
+                                      np.asarray(sd.weight)[obs])
+        np.testing.assert_array_equal(np.asarray(md.color)[obs],
+                                      np.asarray(sd.color)[obs])
