@@ -287,14 +287,14 @@ def main():
         n_tris = int(soup.num_triangles)
         _ = float(fence(soup.vertices))
         t_first = time.time() - t0
-        lc = soup.live_chunks
+        lc, bh = soup.live_chunks, soup.budget_hint
         reps = 5
         rates = []
         for _ in range(3):
             t0 = time.time()
             for _ in range(reps):
                 soup = extract_soup_bricks(bv, min_weight=0.5, live_chunks=lc,
-                                           check=False)
+                                           budget_hint=bh, check=False)
             _ = float(fence(soup.vertices))
             rates.append(n_tris / ((time.time() - t0) / reps))
         mc_rate = statistics.median(rates)

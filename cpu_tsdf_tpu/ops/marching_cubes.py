@@ -304,34 +304,64 @@ def extract_mesh(vol: TSDFVolume, min_weight: float = DEFAULT_MIN_WEIGHT,
 # Gather-free design (round 3): the old path fetched every cube corner with
 # `gather_dw` (8 arbitrary gathers per cube at ~0.1 G elem/s — the extraction
 # bottleneck, BENCH_r02: 12k tris/s). Now each chunk
-#   1. assembles HALOED [K, B+1, B+1, B+1] d/w blocks with 8 sliced ROW
-#     gathers over neighbor slots (the make_render_pack trick; row gathers
-#     run ~15x faster than arbitrary ones);
-#   2. computes corner stacks as shifted VIEWS of the blocks (zero gathers),
-#     the cube filter, and the sign-change mask on the full chunk grid;
+#   1. pre-filters bricks with a per-brick valid-d min/max test combined over
+#     the 7 (+1)-neighbors (`_brick_stats` + the candidate mask): a brick can
+#     contain a crossing cube only if the combined range straddles 0 — a
+#     provable superset, since every active cube's corners are valid voxels
+#     of exactly those bricks (bench/mc_probe5: corner stacks over the full
+#     2048-brick chunk were 3.7 of 11.2 ms; candidates are ~4x fewer);
+#   2. assembles HALOED corner stacks for the CANDIDATE bricks only with 8
+#     sliced ROW gathers over neighbor slots (the make_render_pack trick;
+#     row gathers run ~15x faster than arbitrary ones), cube filter and
+#     sign-change mask as shifted VIEWS of the blocks (zero gathers);
 #   3. compacts crossing cubes to a budget and emits triangles only for them.
 
 
-def _corner_stacks(bv, slot0, K: int, min_weight: float):
-    """The 8 corner-value stacks for every cube of bricks
-    [slot0, slot0 + K), assembled WITHOUT arbitrary gathers or awkward
-    [K,9,9,9] intermediates (the round-3 first cut spent 56 of 70 ms on 16
-    in-place halo writes into that shape).
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _brick_stats(bv, live_chunks: tuple, chunk_slots: int, min_weight: float):
+    """Per-brick (min, max) of d over VALID voxels (w >= min_weight, |d| < 1)
+    for every slot of the given live chunks; +inf/-inf where no valid voxel
+    or never computed. Index C (the neighbor-fill sentinel) stays +inf/-inf.
+    """
+    B = bv.brick_size
+    V = B * B * B
+    C = bv.capacity
+    dmin = jnp.full((C + 1,), jnp.inf)
+    dmax = jnp.full((C + 1,), -jnp.inf)
+    for s0 in live_chunks:
+        d = jax.lax.dynamic_slice(bv.sdf, (s0, 0, 0, 0),
+                                  (chunk_slots, B, B, B)).reshape(-1, V)
+        w = jax.lax.dynamic_slice(bv.weight, (s0, 0, 0, 0),
+                                  (chunk_slots, B, B, B)).reshape(-1, V)
+        valid = (w >= min_weight) & (jnp.abs(d) < 1.0)
+        dmin = jax.lax.dynamic_update_slice(
+            dmin, jnp.min(jnp.where(valid, d, jnp.inf), axis=1), (s0,))
+        dmax = jax.lax.dynamic_update_slice(
+            dmax, jnp.max(jnp.where(valid, d, -jnp.inf), axis=1), (s0,))
+    return dmin, dmax
+
+
+def _corner_stacks(bv, slots, min_weight: float):
+    """The 8 corner-value stacks for every cube of the bricks at `slots`
+    ([Kc] global slot ids; padding rows = capacity), assembled WITHOUT
+    arbitrary gathers or awkward [K,9,9,9] intermediates (the round-3 first
+    cut spent 56 of 70 ms on 16 in-place halo writes into that shape).
 
     Each corner stack dcorn[c] (voxel at local+CORNER_OFFSETS[c]) is a concat
     tree over up to 8 pieces: interior slices of the OWN block plus face/
     edge/corner slabs row-gathered from the +1 neighbor bricks. Returns
-    (dstack [8, K, V] normalized SDF, cube_ok [K, V] flat mask, coords,
+    (dstack [8, Kc, V] normalized SDF, cube_ok [Kc, V] flat mask, coords,
     slot_live)."""
     cfg = bv.config
     B = bv.brick_size
     V = B * B * B
+    K = slots.shape[0]
     nbx, nby, nbz = bv.bricks_per_axis
     C = bv.capacity
-    coords = jax.lax.dynamic_slice(bv.coords, (slot0, 0), (K, 3))
+    coords = jnp.take(bv.coords, jnp.minimum(slots, C - 1), axis=0)
     # liveness comes from coords alone: sharded allocation leaves live slots
     # non-contiguous (per-device partitions), so n_active is not a bound
-    slot_live = coords[:, 0] >= 0
+    slot_live = (slots < C) & (coords[:, 0] >= 0)
     bmap_flat = bv.brick_map.reshape(-1)
 
     def neighbor_slot(bits):
@@ -348,10 +378,9 @@ def _corner_stacks(bv, slot0, K: int, min_weight: float):
 
     def slabs_for(field, fill):
         """Source slabs per neighbor-bit combo; shape [K, dx, dy, dz]."""
-        own = jnp.where(slot_live[:, None],
-                        jax.lax.dynamic_slice(field, (slot0, 0, 0, 0),
-                                              (K, B, B, B)).reshape(K, V),
-                        fill).reshape(K, B, B, B)
+        own = jnp.take(field.reshape(C, V), slots, axis=0, mode="fill",
+                       fill_value=fill)
+        own = jnp.where(slot_live[:, None], own, fill).reshape(K, B, B, B)
 
         def g(src2d, bits, shape):
             t = jnp.take(src2d, nslots[bits], axis=0, mode="fill",
@@ -421,42 +450,69 @@ def _corner_stacks(bv, slot0, K: int, min_weight: float):
     return dstack, cube_ok, coords, slot_live
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
-def _marching_cubes_brick_chunk(bv, slot0, n_slots: int, cube_budget: int,
-                                brick_budget: int, min_weight: float,
-                                color_by_rgb: bool, color_by_confidence: bool):
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
+def _marching_cubes_brick_chunk(bv, stats, slot0, n_slots: int,
+                                cube_budget: int, brick_budget: int,
+                                min_weight: float, color_by_rgb: bool,
+                                color_by_confidence: bool):
     """Triangles for cubes whose lower-corner voxel lies in bricks
     [slot0, slot0 + n_slots). Every voxel belongs to exactly one brick, so
-    chunks never duplicate cubes. Returns (MeshSoup, brick_overflow).
+    chunks never duplicate cubes. `stats` is the `_brick_stats` pair.
+    Returns (MeshSoup, brick_overflow, n_cubes, n_bricks).
 
-    Compaction is two-level — bricks containing any crossing first (budget
-    `brick_budget`), then cubes of only those bricks — so the cumsum/scatter
-    cost scales with the crossing SET, not the full chunk grid."""
+    Compaction is two-level — CANDIDATE bricks first (per-brick valid-d range
+    combined over the 7 (+1)-neighbors straddles 0: a provable superset of
+    bricks containing active cubes, since every active cube's 8 corners are
+    valid voxels of exactly those bricks), then the exact per-cube filter +
+    compaction over only those bricks — so both the corner-stack assembly
+    and the cumsum/scatter cost scale with the crossing SET, not the full
+    chunk grid."""
     from ..activation import _compact
 
     cfg = bv.config
     B = bv.brick_size
     V = B * B * B
     K = n_slots
-    dstack, cube_ok, coords, slot_live = _corner_stacks(bv, slot0, K, min_weight)
+    C = bv.capacity
+    dmin, dmax = stats
 
-    # ---- two-level compaction --------------------------------------------
+    # ---- candidate bricks (pre-filter on per-brick stats) ----------------
+    slots_self = slot0 + jnp.arange(K, dtype=jnp.int32)
+    coords_k = jax.lax.dynamic_slice(bv.coords, (slot0, 0), (K, 3))
+    live_k = coords_k[:, 0] >= 0
+    nbx, nby, nbz = bv.bricks_per_axis
+    bmap_flat = bv.brick_map.reshape(-1)
+    mn = jnp.take(dmin, slots_self)
+    mx = jnp.take(dmax, slots_self)
+    has_own = mn < jnp.inf  # the cube's lower corner lies in this brick
+    for bits in [(1, 0, 0), (0, 1, 0), (0, 0, 1), (1, 1, 0),
+                 (1, 0, 1), (0, 1, 1), (1, 1, 1)]:
+        nc = coords_k + jnp.asarray(bits, jnp.int32)
+        ok = live_k & (nc[:, 0] < nbx) & (nc[:, 1] < nby) & (nc[:, 2] < nbz)
+        blin = (nc[:, 0] * nby + nc[:, 1]) * nbz + nc[:, 2]
+        nslot = jnp.take(bmap_flat, jnp.clip(blin, 0, nbx * nby * nbz - 1),
+                         mode="clip")
+        nslot = jnp.where(ok & (nslot >= 0), nslot, C)  # C row stays inf
+        mn = jnp.minimum(mn, jnp.take(dmin, nslot))
+        mx = jnp.maximum(mx, jnp.take(dmax, nslot))
+    cand = live_k & has_own & (mn < 0.0) & (mx >= 0.0)
+
     KB = brick_budget
-    brick_any = jnp.any(cube_ok, axis=1)                       # [K]
-    bidx, n_bricks = _compact(brick_any, jnp.arange(K, dtype=jnp.int32), KB)
+    bidx, n_bricks = _compact(cand, slots_self, KB)            # global slots
     brick_ovf = n_bricks > KB
-    bok = bidx >= 0
-    bsafe = jnp.maximum(bidx, 0)
-    sub_ok = jnp.take(cube_ok, bsafe, axis=0) & bok[:, None]   # [KB, V]
-    idx2, n_cubes = _compact(sub_ok.reshape(-1),
+    cand_slots = jnp.where(bidx >= 0, bidx, C)
+
+    # ---- exact cube filter over candidates only --------------------------
+    dstack, cube_ok, coords, slot_live = _corner_stacks(bv, cand_slots,
+                                                        min_weight)
+    idx2, n_cubes = _compact(cube_ok.reshape(-1),
                              jnp.arange(KB * V, dtype=jnp.int32), cube_budget)
     ok2 = idx2 >= 0
     i2 = jnp.maximum(idx2, 0)
-    s = jnp.take(bsafe, i2 // V)          # chunk-local slot of each cube
+    s = i2 // V                           # candidate row of each cube
     within = i2 % V
-    idxs = s * V + within                 # flat candidate index
 
-    vals = jnp.take(dstack.reshape(8, K * V), idxs, axis=1).T \
+    vals = jnp.take(dstack.reshape(8, KB * V), i2, axis=1).T \
         * cfg.max_dist_neg                                     # [Nc, 8] meters
     lx, ly, lz = within // (B * B), (within // B) % B, within % B
     cs = jnp.take(coords, s, axis=0)
@@ -467,15 +523,15 @@ def _marching_cubes_brick_chunk(bv, slot0, n_slots: int, cube_budget: int,
     center_rgb = None
     if color_by_rgb and bv.color is not None:
         nch = bv.color.shape[-1]
-        cblk = jax.lax.dynamic_slice(
-            bv.color, (slot0, 0, 0, 0, 0), (K, B, B, B, nch)).reshape(K * V, nch)
-        vox_col = jnp.take(cblk, idxs, axis=0)
+        cblk = jnp.take(bv.color.reshape(C, V, nch), cand_slots, axis=0,
+                        mode="fill", fill_value=0.0).reshape(KB * V, nch)
+        vox_col = jnp.take(cblk, i2, axis=0)
         r, g, bl = color_ops.color_to_rgb(cfg.color_mode, vox_col)
         center_rgb = jnp.stack([r, g, bl], -1)
     elif color_by_confidence:
-        wblk = jax.lax.dynamic_slice(
-            bv.weight, (slot0, 0, 0, 0), (K, B, B, B)).reshape(K * V)
-        wv = jnp.take(wblk, idxs)
+        wblk = jnp.take(bv.weight.reshape(C, V), cand_slots, axis=0,
+                        mode="fill", fill_value=0.0).reshape(KB * V)
+        wv = jnp.take(wblk, i2)
         std_dev = (100.0 - wv) / 100.0
         r = jnp.clip((1.0 - std_dev) * 255.0, 0.0, 255.0)
         bb = jnp.clip(std_dev * 255.0, 0.0, 255.0)
@@ -483,11 +539,11 @@ def _marching_cubes_brick_chunk(bv, slot0, n_slots: int, cube_budget: int,
 
     soup = _emit_soup(cfg, bv.global_transform, cvx, cvy, cvz, vals, ok2,
                       center_rgb, n_cubes > cube_budget)
-    return soup, brick_ovf
+    return soup, brick_ovf, n_cubes, n_bricks
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8))
-def _extract_chunk_compact(bv, slot0, n_slots: int, cube_budget: int,
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9))
+def _extract_chunk_compact(bv, stats, slot0, n_slots: int, cube_budget: int,
                            brick_budget: int, tri_budget: int,
                            min_weight: float, color_by_rgb: bool,
                            color_by_confidence: bool):
@@ -496,17 +552,18 @@ def _extract_chunk_compact(bv, slot0, n_slots: int, cube_budget: int,
     the TPU tunnel (bench/mc_probe4), so the whole chunk pipeline runs as a
     single async dispatch; the caller reads flags/counts once at the end.
 
-    Returns (verts [T,3,3], cols [T,3,3] | None, stats [4] int32:
-    n_tris, cube_ovf, brick_ovf, tri_ovf)."""
-    soup, brick_ovf = _marching_cubes_brick_chunk(
-        bv, slot0, n_slots, cube_budget, brick_budget, min_weight,
+    Returns (verts [T,3,3], cols [T,3,3] | None, out [6] int32:
+    n_tris, cube_ovf, brick_ovf, tri_ovf, n_cubes, n_bricks)."""
+    soup, brick_ovf, n_cubes, n_bricks = _marching_cubes_brick_chunk(
+        bv, stats, slot0, n_slots, cube_budget, brick_budget, min_weight,
         color_by_rgb, color_by_confidence)
     verts, cols = _compact_soup(soup, tri_budget)
     n = soup.num_triangles
-    stats = jnp.stack([n, soup.overflowed.astype(jnp.int32),
-                       brick_ovf.astype(jnp.int32),
-                       (n > tri_budget).astype(jnp.int32)])
-    return verts, cols, stats
+    out = jnp.stack([n, soup.overflowed.astype(jnp.int32),
+                     brick_ovf.astype(jnp.int32),
+                     (n > tri_budget).astype(jnp.int32),
+                     n_cubes.astype(jnp.int32), n_bricks.astype(jnp.int32)])
+    return verts, cols, out
 
 
 @partial(jax.jit, static_argnums=(1,))
@@ -531,6 +588,7 @@ def extract_soup_bricks(bv, min_weight: float = DEFAULT_MIN_WEIGHT,
                         cube_budget: int = 1 << 15,
                         tri_budget: Optional[int] = None,
                         live_chunks: Optional[list] = None,
+                        budget_hint: Optional[list] = None,
                         check: bool = True) -> MeshSoup:
     """Device-level brick-native extraction: chunks over allocated bricks,
     each chunk one async dispatch producing a device-compacted [tri_budget]
@@ -540,14 +598,16 @@ def extract_soup_bricks(bv, min_weight: float = DEFAULT_MIN_WEIGHT,
 
     `live_chunks` (list of chunk start slots) skips the liveness readback —
     pass the previous extraction's `soup.live_chunks` when the active set is
-    unchanged, or compute once per trajectory segment.
+    unchanged, or compute once per trajectory segment. `budget_hint` (the
+    previous soup's `.budget_hint`, aligned with live_chunks) sizes each
+    chunk's (cube, brick, tri) budgets to the measured counts — padding work
+    scales with the actual crossing set instead of the default budgets.
 
     `check=False` skips the overflow-retry sync entirely (ZERO host
-    round-trips — fully async): the soup keeps fixed [tri_budget]-per-chunk
-    buffers, `tri_valid` is a (non-prefix) mask, and `num_triangles` /
-    `overflowed` stay on device. Use after one checked call has established
-    sufficient budgets; callers MUST check `overflowed` before trusting the
-    result.
+    round-trips — fully async): the soup keeps fixed per-chunk buffers,
+    `tri_valid` is a (non-prefix) mask, and `num_triangles` / `overflowed`
+    stay on device. Use after one checked call has established sufficient
+    budgets; callers MUST check `overflowed` before trusting the result.
     """
     chunk_slots = min(chunk_slots, bv.capacity)
     while bv.capacity % chunk_slots:  # chunks must tile the slot range exactly
@@ -562,42 +622,49 @@ def extract_soup_bricks(bv, min_weight: float = DEFAULT_MIN_WEIGHT,
             lv = np.asarray(_chunk_liveness(bv.coords, nchunks))
             live_chunks = [i * chunk_slots for i in range(nchunks) if lv[i]] or [0]
 
+    bstats = _brick_stats(bv, tuple(live_chunks), chunk_slots, min_weight)
     kb0 = min(chunk_slots, max(256, cube_budget // 64))
+    budgets = (budget_hint if budget_hint is not None
+               else [(cube_budget, kb0, tri_budget)] * len(live_chunks))
     if not check:
-        outs = [_extract_chunk_compact(bv, jnp.int32(s0), chunk_slots,
-                                       cube_budget, kb0, tri_budget,
-                                       min_weight, color_by_rgb,
+        outs = [_extract_chunk_compact(bv, bstats, jnp.int32(s0), chunk_slots,
+                                       cb, kb, tb, min_weight, color_by_rgb,
                                        color_by_confidence)
-                for s0 in live_chunks]
+                for s0, (cb, kb, tb) in zip(live_chunks, budgets)]
         v_all = (outs[0][0] if len(outs) == 1
                  else jnp.concatenate([o[0] for o in outs], 0))
         c_all = (None if outs[0][1] is None else
                  (outs[0][1] if len(outs) == 1
                   else jnp.concatenate([o[1] for o in outs], 0)))
-        slot_ids = jnp.arange(tri_budget, dtype=jnp.int32)
-        tv = (jnp.stack([slot_ids < o[2][0] for o in outs], 0).reshape(-1)
-              if len(outs) > 1 else slot_ids < outs[0][2][0])
+        tvs = [jnp.arange(o[0].shape[0], dtype=jnp.int32) < o[2][0]
+               for o in outs]
+        tv = tvs[0] if len(outs) == 1 else jnp.concatenate(tvs, 0)
         n_tot = sum(o[2][0] for o in outs)
-        ovf = sum(jnp.sum(o[2][1:]) for o in outs) > 0
+        ovf = sum(jnp.sum(o[2][1:4]) for o in outs) > 0
         soup = MeshSoup(vertices=v_all, colors=c_all, tri_valid=tv,
                         num_triangles=n_tot, overflowed=ovf)
         soup.live_chunks = live_chunks
+        soup.budget_hint = budgets
         return soup
 
-    pending = [(s0, cube_budget, kb0, tri_budget) for s0 in live_chunks]
+    def pow2(n, lo):
+        return max(lo, 1 << int(np.ceil(np.log2(max(int(n), 1)))))
+
+    pending = [(s0, cb, kb, tb) for s0, (cb, kb, tb) in zip(live_chunks, budgets)]
     verts, cols, counts = [], [], []
+    hints = {}
     while pending:
         batch = pending
         pending = []
         out = [(s0, cb, kb, tb,
-                _extract_chunk_compact(bv, jnp.int32(s0), chunk_slots, cb, kb,
-                                       tb, min_weight, color_by_rgb,
+                _extract_chunk_compact(bv, bstats, jnp.int32(s0), chunk_slots,
+                                       cb, kb, tb, min_weight, color_by_rgb,
                                        color_by_confidence))
                for (s0, cb, kb, tb) in batch]
         # ONE sync for the whole batch
         stats = np.asarray(jnp.stack([o[4][2] for o in out]))
         for (s0, cb, kb, tb, (v, c, _)), st in zip(out, stats):
-            n, cube_ovf, brick_ovf, tri_ovf = (int(x) for x in st)
+            n, cube_ovf, brick_ovf, tri_ovf, n_cubes, n_bricks = (int(x) for x in st)
             if brick_ovf:
                 pending.append((s0, cb, min(chunk_slots, kb * 2), tb))
             elif cube_ovf:
@@ -605,6 +672,10 @@ def extract_soup_bricks(bv, min_weight: float = DEFAULT_MIN_WEIGHT,
             elif tri_ovf:
                 pending.append((s0, cb, kb, tb * 2))
             else:
+                # tight budgets (25% headroom) for subsequent unchecked calls
+                hints[s0] = (pow2(n_cubes * 5 // 4, 1 << 10),
+                             min(chunk_slots, pow2(n_bricks * 5 // 4, 256)),
+                             pow2(n * 5 // 4, 1 << 11))
                 if n:
                     verts.append(v[:n])
                     if c is not None:
@@ -613,10 +684,16 @@ def extract_soup_bricks(bv, min_weight: float = DEFAULT_MIN_WEIGHT,
     total = int(sum(counts))
     if not verts:
         z = jnp.zeros((0, 3, 3), jnp.float32)
-        return MeshSoup(vertices=z, colors=(z if color_by_rgb or color_by_confidence
-                                            else None),
+        soup = MeshSoup(vertices=z,
+                        colors=(z if color_by_rgb or color_by_confidence
+                                else None),
                         tri_valid=jnp.zeros((0,), bool),
-                        num_triangles=jnp.int32(0), overflowed=jnp.asarray(False))
+                        num_triangles=jnp.int32(0),
+                        overflowed=jnp.asarray(False))
+        soup.live_chunks = live_chunks
+        soup.budget_hint = [hints.get(s0, (cube_budget, kb0, tri_budget))
+                            for s0 in live_chunks]
+        return soup
     v_all = verts[0] if len(verts) == 1 else jnp.concatenate(verts, 0)
     c_all = (None if not cols
              else (cols[0] if len(cols) == 1 else jnp.concatenate(cols, 0)))
@@ -625,4 +702,6 @@ def extract_soup_bricks(bv, min_weight: float = DEFAULT_MIN_WEIGHT,
                     num_triangles=jnp.int32(total),
                     overflowed=jnp.asarray(False))
     soup.live_chunks = live_chunks
+    soup.budget_hint = [hints.get(s0, (cube_budget, kb0, tri_budget))
+                        for s0 in live_chunks]
     return soup

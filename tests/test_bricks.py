@@ -212,3 +212,24 @@ def test_brick_extraction_budget_retry(scene):
     s1 = set(map(tuple, np.round(v1 * 1e6).astype(np.int64)))
     s2 = set(map(tuple, np.round(v2 * 1e6).astype(np.int64)))
     assert s1 == s2
+
+
+def test_brick_extraction_budget_hint_unchecked(scene):
+    """The checked pass returns tight per-chunk budget hints; an unchecked
+    extraction with those hints yields the identical triangle set."""
+    from cpu_tsdf_tpu.ops.marching_cubes import extract_soup_bricks
+
+    cfg, pose, depth = scene
+    bv = make_brick_volume(cfg, brick_size=8, capacity=2048)
+    bv = integrate_bricks(bv, jnp.asarray(depth), jnp.asarray(pose, jnp.float32))
+    s1 = extract_soup_bricks(bv, min_weight=0.5)
+    assert s1.budget_hint and all(len(b) == 3 for b in s1.budget_hint)
+    s2 = extract_soup_bricks(bv, min_weight=0.5, live_chunks=s1.live_chunks,
+                             budget_hint=s1.budget_hint, check=False)
+    assert not bool(s2.overflowed)
+    v1, f1, _ = s1.to_numpy()
+    v2, f2, _ = s2.to_numpy()
+    assert len(f1) == len(f2) > 100
+    a = set(map(tuple, np.round(v1 * 1e6).astype(np.int64)))
+    b = set(map(tuple, np.round(v2 * 1e6).astype(np.int64)))
+    assert a == b
