@@ -288,7 +288,8 @@ def main():
         _ = float(fence(soup.vertices))
         t_first = time.time() - t0
         lc, bh = soup.live_chunks, soup.budget_hint
-        reps = 5
+        reps = 20  # the tunnel fence floor is ~30 ms (bench/mc_probe7);
+        # amortize it below 5% of a ~13 ms extraction
         rates = []
         for _ in range(3):
             t0 = time.time()

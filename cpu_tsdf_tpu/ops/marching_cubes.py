@@ -32,6 +32,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
 from ..config import TSDFConfig
 from ..geometry import transform_points, voxel_center
 from ..volume import TSDFVolume
@@ -350,8 +353,9 @@ def _corner_stacks(bv, slots, min_weight: float):
     Each corner stack dcorn[c] (voxel at local+CORNER_OFFSETS[c]) is a concat
     tree over up to 8 pieces: interior slices of the OWN block plus face/
     edge/corner slabs row-gathered from the +1 neighbor bricks. Returns
-    (dstack [8, Kc, V] normalized SDF, cube_ok [Kc, V] flat mask, coords,
-    slot_live)."""
+    (dstack [Kc * V, 8] normalized SDF — corners LAST so the downstream
+    per-cube fetch is a fast row gather, not an arbitrary element gather —
+    cube_ok [Kc, V] flat mask, coords, slot_live)."""
     cfg = bv.config
     B = bv.brick_size
     V = B * B * B
@@ -428,7 +432,7 @@ def _corner_stacks(bv, slots, min_weight: float):
     offs = np.asarray(CORNER_OFFSETS)
     dcs = [corner(d_slabs, *o) for o in offs]
     wcs = [corner(w_slabs, *o) for o in offs]
-    dstack = jnp.stack(dcs, 0)                       # [8, K, V]
+    dstack = jnp.stack(dcs, -1).reshape(K * V, 8)    # [K * V, 8]
 
     corner_ok = jnp.ones((K, V), bool)
     for dc, wc in zip(dcs, wcs):
@@ -439,22 +443,142 @@ def _corner_stacks(bv, slots, min_weight: float):
         neg |= dc < 0
         pos |= dc >= 0
 
-    vid = jnp.arange(V, dtype=jnp.int32)[None, :]
-    vx = coords[:, 0:1] * B + vid // (B * B)
-    vy = coords[:, 1:2] * B + (vid // B) % B
-    vz = coords[:, 2:3] * B + vid % B
-    interior = ((vx >= 1) & (vx < cfg.xres - 2)
-                & (vy >= 1) & (vy < cfg.yres - 2)
-                & (vz >= 1) & (vz < cfg.zres - 2))
+    interior = _interior_mask(cfg, coords, B, V)
     cube_ok = corner_ok & neg & pos & interior & slot_live[:, None]
     return dstack, cube_ok, coords, slot_live
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
+def _interior_mask(cfg, coords, B: int, V: int):
+    """[K, V] mask of cubes whose lower corner is an interior voxel
+    (marching_cubes_tsdf_octree.cpp:199-202)."""
+    vid = jnp.arange(V, dtype=jnp.int32)[None, :]
+    vx = coords[:, 0:1] * B + vid // (B * B)
+    vy = coords[:, 1:2] * B + (vid // B) % B
+    vz = coords[:, 2:3] * B + vid % B
+    return ((vx >= 1) & (vx < cfg.xres - 2)
+            & (vy >= 1) & (vy < cfg.yres - 2)
+            & (vz >= 1) & (vz < cfg.zres - 2))
+
+
+# Neighbor-brick directions, in the plane order fed to the halo kernel.
+_NBR_BITS = ((1, 0, 0), (0, 1, 0), (0, 0, 1), (1, 1, 0),
+             (1, 0, 1), (0, 1, 1), (1, 1, 1))
+
+
+def _corner_halo_kernel(min_weight: float, KBLK: int, V: int,
+                        dall_ref, wall_ref, dstack_ref, ok_ref):
+    """Per-block corner-stack assembly in VMEM via lane rolls.
+
+    ``dall_ref``/``wall_ref``: [8, KBLK, V] — plane 0 is each brick's own
+    block, planes 1..7 the +1-neighbor bricks per ``_NBR_BITS`` (pre-gathered
+    rows; out-of-range neighbors filled with d=-1 / w=0). Lane index encodes
+    (x, y, z) as x*64 + y*8 + z within the 8^3 brick, so the voxel at
+    local+(0,0,1) is a lane roll by -1 with the z=7 boundary patched from the
+    +z neighbor's z=0 face (roll by +7) — and corner offsets compose the
+    x/y/z shifts, sourcing edge/corner neighbors for the far boundaries.
+    Replaces the XLA concat-tree (≈190 reshape/copy dispatches ≈ 6.5 ms at
+    KB=1024, bench/mc_trace) with one kernel pass.
+
+    Outputs: ``dstack_ref`` [8, KBLK, V] — corner c's normalized d in PCL
+    corner order — and ``ok_ref`` [KBLK, V] int32: all 8 corners valid
+    (w >= min_weight, |d| < 1) and a sign change straddles the cube."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (KBLK, V), 1)
+    at_x = (lane // 64) == 7
+    at_y = ((lane // 8) % 8) == 7
+    at_z = (lane % 8) == 7
+
+    # pltpu.roll(a, s)[i] = a[(i - s) mod V] and requires s >= 0, so the
+    # "+1 voxel" reads are rolls by V - {1, 8, 64}
+    def s_z(a, az):
+        return jnp.where(at_z, pltpu.roll(az, 7, 1), pltpu.roll(a, V - 1, 1))
+
+    def s_y(a, ay):
+        return jnp.where(at_y, pltpu.roll(ay, 56, 1), pltpu.roll(a, V - 8, 1))
+
+    def s_x(a, ax):
+        return jnp.where(at_x, pltpu.roll(ax, 448, 1),
+                         pltpu.roll(a, V - 64, 1))
+
+    def corners(ref):
+        own = ref[0]
+        nx, ny, nz = ref[1], ref[2], ref[3]
+        nxy, nxz, nyz, nxyz = ref[4], ref[5], ref[6], ref[7]
+        sz_o, sz_x = s_z(own, nz), s_z(nx, nxz)
+        sz_y, sz_xy = s_z(ny, nyz), s_z(nxy, nxyz)
+        sy_o, sy_x = s_y(own, ny), s_y(nx, nxy)
+        c011 = s_y(sz_o, sz_y)
+        # CORNER_OFFSETS (PCL) order
+        return [own, s_x(own, nx), s_x(sz_o, sz_x), sz_o,
+                sy_o, s_x(sy_o, sy_x), s_x(c011, s_y(sz_x, sz_xy)), c011]
+
+    dcs = corners(dall_ref)
+    wcs = corners(wall_ref)
+    corner_ok = (wcs[0] >= min_weight) & (jnp.abs(dcs[0]) < 1.0)
+    for dc, wc in zip(dcs[1:], wcs[1:]):
+        corner_ok &= (wc >= min_weight) & (jnp.abs(dc) < 1.0)
+    neg = dcs[0] < 0.0
+    pos = dcs[0] >= 0.0
+    for dc in dcs[1:]:
+        neg |= dc < 0.0
+        pos |= dc >= 0.0
+    for c in range(8):
+        dstack_ref[c] = dcs[c]
+    ok_ref[...] = (corner_ok & neg & pos).astype(jnp.int32)
+
+
+def _corner_stacks_pallas(bv, slots, min_weight: float, interpret: bool):
+    """Pallas-kernel corner stacks: same contract as ``_corner_stacks`` but
+    the halo assembly runs on-chip (requires brick_size == 8 and the brick
+    budget divisible by the 64-brick block). Neighbor blocks are fetched
+    with ONE row gather per field (8K rows) instead of 7 strided face
+    slices of the full capacity array."""
+    B = bv.brick_size
+    V = B * B * B
+    K = slots.shape[0]
+    C = bv.capacity
+    KBLK = 64
+    coords = jnp.take(bv.coords, jnp.minimum(slots, C - 1), axis=0)
+    slot_live = (slots < C) & (coords[:, 0] >= 0)
+    nbx, nby, nbz = bv.bricks_per_axis
+    bmap_flat = bv.brick_map.reshape(-1)
+
+    planes = [slots]
+    for bits in _NBR_BITS:
+        nc = coords + jnp.asarray(bits, jnp.int32)
+        ok = slot_live & (nc[:, 0] < nbx) & (nc[:, 1] < nby) & (nc[:, 2] < nbz)
+        blin = (nc[:, 0] * nby + nc[:, 1]) * nbz + nc[:, 2]
+        nslot = jnp.take(bmap_flat, jnp.clip(blin, 0, nbx * nby * nbz - 1),
+                         mode="clip")
+        planes.append(jnp.where(ok & (nslot >= 0), nslot, C))
+    idx_all = jnp.stack(planes, 0).reshape(-1)               # [8K]
+    dall = jnp.take(bv.sdf.reshape(C, V), idx_all, axis=0, mode="fill",
+                    fill_value=-1.0).reshape(8, K, V)
+    wall = jnp.take(bv.weight.reshape(C, V), idx_all, axis=0, mode="fill",
+                    fill_value=0.0).reshape(8, K, V)
+
+    dstack8, ok = pl.pallas_call(
+        partial(_corner_halo_kernel, min_weight, KBLK, V),
+        grid=(K // KBLK,),
+        in_specs=[pl.BlockSpec((8, KBLK, V), lambda i: (0, i, 0)),
+                  pl.BlockSpec((8, KBLK, V), lambda i: (0, i, 0))],
+        out_specs=[pl.BlockSpec((8, KBLK, V), lambda i: (0, i, 0)),
+                   pl.BlockSpec((KBLK, V), lambda i: (i, 0))],
+        out_shape=[jax.ShapeDtypeStruct((8, K, V), jnp.float32),
+                   jax.ShapeDtypeStruct((K, V), jnp.int32)],
+        interpret=interpret,
+    )(dall, wall)
+    dstack = dstack8.transpose(1, 2, 0).reshape(K * V, 8)
+    cube_ok = (ok > 0) & _interior_mask(bv.config, coords, B, V) \
+        & slot_live[:, None]
+    return dstack, cube_ok, coords, slot_live
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9))
 def _marching_cubes_brick_chunk(bv, stats, slot0, n_slots: int,
                                 cube_budget: int, brick_budget: int,
                                 min_weight: float, color_by_rgb: bool,
-                                color_by_confidence: bool):
+                                color_by_confidence: bool,
+                                corner_engine: str = "xla"):
     """Triangles for cubes whose lower-corner voxel lies in bricks
     [slot0, slot0 + n_slots). Every voxel belongs to exactly one brick, so
     chunks never duplicate cubes. `stats` is the `_brick_stats` pair.
@@ -503,8 +627,12 @@ def _marching_cubes_brick_chunk(bv, stats, slot0, n_slots: int,
     cand_slots = jnp.where(bidx >= 0, bidx, C)
 
     # ---- exact cube filter over candidates only --------------------------
-    dstack, cube_ok, coords, slot_live = _corner_stacks(bv, cand_slots,
-                                                        min_weight)
+    if corner_engine != "xla" and B == 8 and KB % 64 == 0:
+        dstack, cube_ok, coords, slot_live = _corner_stacks_pallas(
+            bv, cand_slots, min_weight, corner_engine == "interpret")
+    else:
+        dstack, cube_ok, coords, slot_live = _corner_stacks(bv, cand_slots,
+                                                            min_weight)
     idx2, n_cubes = _compact(cube_ok.reshape(-1),
                              jnp.arange(KB * V, dtype=jnp.int32), cube_budget)
     ok2 = idx2 >= 0
@@ -512,7 +640,7 @@ def _marching_cubes_brick_chunk(bv, stats, slot0, n_slots: int,
     s = i2 // V                           # candidate row of each cube
     within = i2 % V
 
-    vals = jnp.take(dstack.reshape(8, KB * V), i2, axis=1).T \
+    vals = jnp.take(dstack, i2, axis=0) \
         * cfg.max_dist_neg                                     # [Nc, 8] meters
     lx, ly, lz = within // (B * B), (within // B) % B, within % B
     cs = jnp.take(coords, s, axis=0)
@@ -542,11 +670,12 @@ def _marching_cubes_brick_chunk(bv, stats, slot0, n_slots: int,
     return soup, brick_ovf, n_cubes, n_bricks
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
 def _extract_chunk_compact(bv, stats, slot0, n_slots: int, cube_budget: int,
                            brick_budget: int, tri_budget: int,
                            min_weight: float, color_by_rgb: bool,
-                           color_by_confidence: bool):
+                           color_by_confidence: bool,
+                           corner_engine: str = "xla"):
     """One-dispatch chunk extraction: chunk + in-jit soup compaction to a
     fixed [tri_budget] buffer. Blocking host syncs cost ~30 ms each through
     the TPU tunnel (bench/mc_probe4), so the whole chunk pipeline runs as a
@@ -556,7 +685,7 @@ def _extract_chunk_compact(bv, stats, slot0, n_slots: int, cube_budget: int,
     n_tris, cube_ovf, brick_ovf, tri_ovf, n_cubes, n_bricks)."""
     soup, brick_ovf, n_cubes, n_bricks = _marching_cubes_brick_chunk(
         bv, stats, slot0, n_slots, cube_budget, brick_budget, min_weight,
-        color_by_rgb, color_by_confidence)
+        color_by_rgb, color_by_confidence, corner_engine)
     verts, cols = _compact_soup(soup, tri_budget)
     n = soup.num_triangles
     out = jnp.stack([n, soup.overflowed.astype(jnp.int32),
@@ -589,7 +718,8 @@ def extract_soup_bricks(bv, min_weight: float = DEFAULT_MIN_WEIGHT,
                         tri_budget: Optional[int] = None,
                         live_chunks: Optional[list] = None,
                         budget_hint: Optional[list] = None,
-                        check: bool = True) -> MeshSoup:
+                        check: bool = True,
+                        corner_engine: Optional[str] = None) -> MeshSoup:
     """Device-level brick-native extraction: chunks over allocated bricks,
     each chunk one async dispatch producing a device-compacted [tri_budget]
     soup; ONE final readback collects counts/overflow flags. Chunks whose
@@ -609,6 +739,13 @@ def extract_soup_bricks(bv, min_weight: float = DEFAULT_MIN_WEIGHT,
     stay on device. Use after one checked call has established sufficient
     budgets; callers MUST check `overflowed` before trusting the result.
     """
+    if corner_engine is None:
+        # the halo kernel replaces the XLA concat-tree on real accelerators;
+        # CPU keeps the XLA path (interpret-mode pallas is grid-serial slow).
+        # Gate on where the volume actually lives — jax.devices() reports the
+        # axon TPU even when placement is pinned to CPU (tests/conftest.py)
+        plats = {d.platform for d in bv.sdf.devices()}
+        corner_engine = "xla" if plats <= {"cpu"} else "pallas"
     chunk_slots = min(chunk_slots, bv.capacity)
     while bv.capacity % chunk_slots:  # chunks must tile the slot range exactly
         chunk_slots //= 2
@@ -629,7 +766,7 @@ def extract_soup_bricks(bv, min_weight: float = DEFAULT_MIN_WEIGHT,
     if not check:
         outs = [_extract_chunk_compact(bv, bstats, jnp.int32(s0), chunk_slots,
                                        cb, kb, tb, min_weight, color_by_rgb,
-                                       color_by_confidence)
+                                       color_by_confidence, corner_engine)
                 for s0, (cb, kb, tb) in zip(live_chunks, budgets)]
         v_all = (outs[0][0] if len(outs) == 1
                  else jnp.concatenate([o[0] for o in outs], 0))
@@ -647,8 +784,11 @@ def extract_soup_bricks(bv, min_weight: float = DEFAULT_MIN_WEIGHT,
         soup.budget_hint = budgets
         return soup
 
-    def pow2(n, lo):
-        return max(lo, 1 << int(np.ceil(np.log2(max(int(n), 1)))))
+    def roundup(n, step, lo):
+        # finer-than-pow2 budget grid: every stage's work scales with the
+        # budget (bench/mc_probe7: 514 bricks padded to a pow2 1024 cost
+        # +25% wall), so pad to `step` multiples; recompiles cache per size
+        return max(lo, (int(n) + step - 1) // step * step)
 
     pending = [(s0, cb, kb, tb) for s0, (cb, kb, tb) in zip(live_chunks, budgets)]
     verts, cols, counts = [], [], []
@@ -659,7 +799,7 @@ def extract_soup_bricks(bv, min_weight: float = DEFAULT_MIN_WEIGHT,
         out = [(s0, cb, kb, tb,
                 _extract_chunk_compact(bv, bstats, jnp.int32(s0), chunk_slots,
                                        cb, kb, tb, min_weight, color_by_rgb,
-                                       color_by_confidence))
+                                       color_by_confidence, corner_engine))
                for (s0, cb, kb, tb) in batch]
         # ONE sync for the whole batch
         stats = np.asarray(jnp.stack([o[4][2] for o in out]))
@@ -673,9 +813,10 @@ def extract_soup_bricks(bv, min_weight: float = DEFAULT_MIN_WEIGHT,
                 pending.append((s0, cb, kb, tb * 2))
             else:
                 # tight budgets (25% headroom) for subsequent unchecked calls
-                hints[s0] = (pow2(n_cubes * 5 // 4, 1 << 10),
-                             min(chunk_slots, pow2(n_bricks * 5 // 4, 256)),
-                             pow2(n * 5 // 4, 1 << 11))
+                hints[s0] = (roundup(n_cubes * 5 // 4, 1 << 12, 1 << 10),
+                             min(chunk_slots,
+                                 roundup(n_bricks * 5 // 4, 128, 256)),
+                             roundup(n * 5 // 4, 1 << 12, 1 << 11))
                 if n:
                     verts.append(v[:n])
                     if c is not None:

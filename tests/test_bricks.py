@@ -233,3 +233,21 @@ def test_brick_extraction_budget_hint_unchecked(scene):
     a = set(map(tuple, np.round(v1 * 1e6).astype(np.int64)))
     b = set(map(tuple, np.round(v2 * 1e6).astype(np.int64)))
     assert a == b
+
+
+def test_brick_extraction_pallas_corner_parity(scene):
+    """The Pallas halo corner kernel (interpret mode on CPU) produces the
+    IDENTICAL triangle set as the XLA concat-tree corner stacks."""
+    from cpu_tsdf_tpu.ops.marching_cubes import extract_soup_bricks
+
+    cfg, pose, depth = scene
+    bv = make_brick_volume(cfg, brick_size=8, capacity=2048)
+    bv = integrate_bricks(bv, jnp.asarray(depth), jnp.asarray(pose, jnp.float32))
+    sx = extract_soup_bricks(bv, min_weight=0.5, corner_engine="xla")
+    sp = extract_soup_bricks(bv, min_weight=0.5, corner_engine="interpret")
+    assert int(sx.num_triangles) == int(sp.num_triangles) > 100
+    vx, fx, _ = sx.to_numpy()
+    vp, fp, _ = sp.to_numpy()
+    a = set(map(tuple, np.round(vx * 1e6).astype(np.int64)))
+    b = set(map(tuple, np.round(vp * 1e6).astype(np.int64)))
+    assert a == b

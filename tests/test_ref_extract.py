@@ -320,3 +320,87 @@ def test_render_matches_compiled_reference(have_ref, small_cfg):
     assert np.median(err) < 1e-3, np.median(err)
     half_voxel = 0.5 * cfg.xsize / cfg.xres
     assert (err < half_voxel).mean() > 0.95, (err < half_voxel).mean()
+
+
+def _orbit_pose_at(theta, orbit_r=1.0):
+    """Camera on an x-z circle looking at the origin (y up)."""
+    c = np.array([orbit_r * np.sin(theta), 0.0, -orbit_r * np.cos(theta)])
+    zax = -c / np.linalg.norm(c)
+    xax = np.cross([0.0, 1.0, 0.0], zax)
+    xax /= np.linalg.norm(xax)
+    yax = np.cross(zax, xax)
+    m = np.eye(4)
+    m[:3, 0], m[:3, 1], m[:3, 2], m[:3, 3] = xax, yax, zax, c
+    return m
+
+
+def _sphere_depth_at(pose, W, H, fx, fy, cx, cy, radius):
+    """Analytic ray-traced depth of an origin-centered sphere."""
+    uu, vv = np.meshgrid(np.arange(W), np.arange(H))
+    dirs = np.stack([(uu - cx) / fx, (vv - cy) / fy, np.ones_like(uu, float)], -1)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    d_w = dirs @ pose[:3, :3].T
+    o = pose[:3, 3]
+    b = 2.0 * d_w @ o
+    disc = b * b - 4 * (o @ o - radius * radius)
+    t = (-b - np.sqrt(np.maximum(disc, 0.0))) / 2.0
+    hit = (disc > 0) & (t > 0.1)
+    return np.where(hit, t * dirs[..., 2], np.nan).astype(np.float32)
+
+
+@pytest.mark.slow
+def test_256cubed_noisy_trajectory_matches_compiled_reference(have_ref):
+    """SURVEY §4 config-2 class golden: a 256^3 volume fused from a 5-frame
+    noisy orbit (1.5 mm gaussian depth noise, 5% dropouts, 160x120 frames,
+    RGB color) diffed against the genuine compiled reference octree
+    (octree.cpp / impl/tsdf_volume_octree.hpp:113-218). Voxels whose sample
+    counts agree (identical observation history; the octree splits lazily so
+    late-split leaves legitimately miss early frames) must match to f32
+    tolerance in d/w and within one count in color."""
+    from cpu_tsdf_tpu import TSDFConfig
+
+    W, H, FX = 160, 120, 140.0
+    cfg = TSDFConfig(
+        xres=256, yres=256, zres=256,
+        xsize=1.6, ysize=1.6, zsize=1.6,
+        max_dist_pos=0.03, max_dist_neg=0.03,
+        min_sensor_dist=0.1, max_sensor_dist=3.0,
+        image_width=W, image_height=H,
+        focal_length_x=FX, focal_length_y=FX,
+        principal_point_x=(W - 1) / 2.0, principal_point_y=(H - 1) / 2.0,
+        max_cell_size_x=0.4, max_cell_size_y=0.4, max_cell_size_z=0.4,
+        frustum_culling=False, integrate_color=True, color_mode="RGB",
+    )
+    rng = np.random.RandomState(7)
+    frames, rgbs = [], []
+    for i in range(5):
+        pose = _orbit_pose_at(2.0 * np.pi * i / 5)
+        depth = _sphere_depth_at(pose, W, H, FX, FX,
+                                 cfg.principal_point_x, cfg.principal_point_y,
+                                 radius=0.35)
+        depth = depth + rng.normal(0.0, 0.0015, depth.shape).astype(np.float32)
+        depth = np.where(rng.uniform(size=depth.shape) < 0.05, np.nan, depth)
+        frames.append((pose, depth.astype(np.float32)))
+        rgbs.append(rng.randint(0, 256, (H, W, 3)).astype(np.float32))
+
+    ref = _run_reference(cfg, frames, rgbs=rgbs, color_mode="RGB")
+    vol = make_volume(cfg)
+    for (pose, depth), rgb in zip(frames, rgbs):
+        vol = integrate(vol, jnp.asarray(depth), jnp.asarray(pose, jnp.float32),
+                        jnp.asarray(rgb))
+
+    ix, iy, iz = ref["idx"]
+    rec = ref["rec"]
+    assert len(rec) > 50_000, len(rec)
+    same = np.asarray(vol.nsample)[ix, iy, iz] == rec["ns"]
+    assert same.sum() > 30_000, same.sum()
+    d = np.asarray(vol.sdf)[ix, iy, iz][same]
+    w = np.asarray(vol.weight)[ix, iy, iz][same]
+    np.testing.assert_allclose(d, rec["d"][same], atol=5e-5)
+    np.testing.assert_allclose(w, rec["w"][same], atol=5e-5)
+    from cpu_tsdf_tpu.ops.color import color_to_rgb
+
+    r_, g_, b_ = color_to_rgb("RGB", vol.color)
+    for ours, theirs in ((r_, rec["r"]), (g_, rec["g"]), (b_, rec["b"])):
+        got = np.asarray(ours)[ix, iy, iz][same]
+        assert (np.abs(got - theirs.astype(np.float32)[same]) <= 1.0).mean() > 0.99
