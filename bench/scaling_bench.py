@@ -93,6 +93,8 @@ def main():
                                           update_budget=1 << 11)
         fence(sb.weight)
         t_int = (time.time() - t0) / 10
+        assert not bool(np.asarray(sb.overflowed)), \
+            f"slab budget overflow at {n} devices"
 
         vol8 = shard_volume(make_volume(cfg), mesh)
         vol8 = integrate(vol8, depth, pose)

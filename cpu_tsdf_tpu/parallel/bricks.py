@@ -74,7 +74,7 @@ def make_sharded_brick_volume(cfg: TSDFConfig, mesh: Mesh, brick_size: int = 8,
 
 @partial(jax.jit, static_argnums=(4, 5, 6, 7), donate_argnums=(0,))
 def _integrate_sharded_jit(bv: BrickVolume, depth, rgb, pose,
-                           update_budget: int, mesh: Mesh, use_pallas: bool,
+                           budget_local: int, mesh: Mesh, use_pallas: bool,
                            pallas_interpret: bool) -> BrickVolume:
     cfg = bv.config
     B = bv.brick_size
@@ -82,6 +82,7 @@ def _integrate_sharded_jit(bv: BrickVolume, depth, rgb, pose,
     C_local = bv.capacity // D
     nbx, nby, nbz = bv.bricks_per_axis
     nbx_local = nbx // D
+    update_budget = budget_local
     pose = jnp.asarray(pose, jnp.float32)
     pose_inv = rigid_inverse(pose)
     has_color = bv.color is not None and rgb is not None
@@ -185,17 +186,29 @@ def _integrate_sharded_jit(bv: BrickVolume, depth, rgb, pose,
 def integrate_bricks_sharded(bv: BrickVolume, depth, pose, mesh: Mesh,
                              update_budget: int = 1 << 12, rgb=None,
                              use_pallas: bool = False,
-                             pallas_interpret: bool = False) -> BrickVolume:
+                             pallas_interpret: bool = False,
+                             budget_per_device: int = None) -> BrickVolume:
     """Fuse one frame into a slab-sharded brick volume (zero collectives).
 
     With use_pallas the per-voxel update runs in the Pallas fusion kernel
     INSIDE the shard_map body (one kernel launch per device, each over its
     own slot partition); rgb enables color fusion, same semantics as
-    :func:`cpu_tsdf_tpu.bricks.integrate_bricks`."""
+    :func:`cpu_tsdf_tpu.bricks.integrate_bricks`.
+
+    ``update_budget`` is the GLOBAL band budget; each device's stages
+    (candidate list, allocation, fuse) are sized to ``budget_per_device``
+    (default ``2 * update_budget / D``, i.e. 2x slack over a uniform split —
+    sizing every device at the full global budget made total work D x global,
+    the round-2 sharded-integrate overhead). A slab denser than the local
+    budget raises ``overflowed``, never drops silently."""
+    D = mesh.devices.size
+    if budget_per_device is None:
+        budget_per_device = min(update_budget,
+                                max(256, -(-2 * update_budget // (128 * D)) * 128))
     return _integrate_sharded_jit(bv, jnp.asarray(depth),
                                   None if rgb is None else jnp.asarray(rgb),
                                   jnp.asarray(pose, jnp.float32),
-                                  update_budget, mesh, use_pallas,
+                                  budget_per_device, mesh, use_pallas,
                                   pallas_interpret)
 
 
