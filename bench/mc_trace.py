@@ -51,8 +51,10 @@ def capture():
     stats = _brick_stats(bv, (0,), 2048, 2.5)
 
     def run():
-        return _extract_chunk_compact(bv, stats, jnp.int32(0), 2048, 1 << 15,
-                                      1024, 1 << 16, 2.5, False, False)[0]
+        # hint-sized budgets + the pallas corner engine: the real bench path
+        return _extract_chunk_compact(bv, stats, jnp.int32(0), 2048, 24576,
+                                      768, 49152, 2.5, False, False,
+                                      "pallas")[0]
 
     r = run(); _ = float(fence(jnp.sum(r)))  # warm
     with jax.profiler.trace(TRACE_DIR):

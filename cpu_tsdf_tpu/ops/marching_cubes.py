@@ -186,6 +186,106 @@ def _center_rgb(vol, lin_center, color_by_rgb, color_by_confidence):
     return None
 
 
+def _table_rows_onehot(cubeindex, cube_ok):
+    """Triangle-table rows via a one-hot MXU matmul (arbitrary gathers run
+    at ~0.1 G elem/s on this TPU): (entries [N, 3*MAX] int32, ntris [N])."""
+    M = MAX_TRIS_PER_CUBE
+    table = np.concatenate([TRI_TABLE.astype(np.float32),
+                            TRI_COUNT[:, None].astype(np.float32)], 1)
+    onehot = (cubeindex[:, None] == jnp.arange(256, dtype=jnp.int32)[None, :]
+              ).astype(jnp.float32)
+    rows = jnp.dot(onehot, jnp.asarray(table),
+                   preferred_element_type=jnp.float32)
+    entries = rows[:, :3 * M].astype(jnp.int32)
+    ntris = jnp.where(cube_ok, rows[:, 3 * M].astype(jnp.int32), 0)
+    return entries, ntris
+
+
+def _emit_soup_compacted(cfg, global_transform, ci, cj, ck, vals, cube_ok,
+                         center_rgb, overflowed, tri_budget: int,
+                         interpret: bool) -> MeshSoup:
+    """Compact-then-emit triangle emission for the kernel path: triangles
+    are compacted FIRST (pack-left kernel over the per-cube triangle-count
+    mask), then vertices are interpolated only for the [tri_budget]
+    survivors. Skips the [N, MAX, 3, 3] materialization chain the
+    emit-then-compact order pays (~2.3 ms of reshape/broadcast/scatter at
+    N=24576, bench/mc_trace); the resulting soup is already compacted
+    (prefix tri_valid), in the same cube-major order as
+    ``_emit_soup`` + ``_compact_soup``."""
+    N = vals.shape[0]
+    M = MAX_TRIS_PER_CUBE
+    bits = (vals < 0.0).astype(jnp.int32)
+    cubeindex = jnp.sum(bits * (1 << jnp.arange(8, dtype=jnp.int32))[None, :],
+                        axis=1)
+    cx, cy, cz = voxel_center(cfg, ci.astype(jnp.float32),
+                              cj.astype(jnp.float32), ck.astype(jnp.float32))
+    entries, ntris = _table_rows_onehot(cubeindex, cube_ok)  # [N, 3M], [N]
+
+    slot = jnp.arange(M, dtype=jnp.int32)[None, :]
+    mask2d = (slot < ntris[:, None]).astype(jnp.int32).reshape(-1, 512)
+    loc = _pack_left_rows(mask2d, interpret)
+    sel, n_tris = _compact_from_loc(mask2d, loc, tri_budget)  # flat tri ids
+    ok_t = sel >= 0
+    selv = jnp.maximum(sel, 0)
+    c = selv // M
+    m = selv % M
+
+    # per-triangle data in SoA layout — the triangle index lives in LANES.
+    # A [tb, 3]-shaped AoS emit lowers to 3-lane-minor vregs (97% of each
+    # vector op padded away; the 12-edge select ran 1.8 ms, bench/mc_trace).
+    # ONE combined row gather fetches everything per cube, then everything
+    # is [*, tb] until the final stack.
+    gmat = jnp.concatenate(
+        [vals, cx[:, None], cy[:, None], cz[:, None],
+         jnp.zeros((N, 1), jnp.float32)], 1)                 # [N, 12]
+    gT = jnp.take(gmat, c, axis=0).T                          # [12, tb]
+    erT = jnp.take(entries, c, axis=0).T                      # [3M, tb]
+
+    # edge ids of this triangle's 3 vertices, then edge -> corner pair
+    eidT = []
+    for j in range(3):
+        e = erT[j]
+        for mi in range(1, M):
+            e = jnp.where(m == mi, erT[3 * mi + j], e)
+        eidT.append(e)                                        # [tb] each
+    offs = np.asarray(CORNER_OFFSETS).astype(np.float32)
+    cell = np.asarray(cfg.cell_size, np.float32)
+    e_a = [int(a) for a in EDGE_CORNERS[:, 0]]
+    e_b = [int(b) for b in EDGE_CORNERS[:, 1]]
+
+    def vert_xyz(eid):
+        """Interpolated vertex of edge `eid` [tb] as ([tb] x, y, z)."""
+        v1 = v2 = jnp.zeros_like(gT[0])
+        p1 = [jnp.zeros_like(gT[0]) for _ in range(3)]
+        p2 = [jnp.zeros_like(gT[0]) for _ in range(3)]
+        for e in range(12):
+            is_e = eid == e
+            v1 = jnp.where(is_e, gT[e_a[e]], v1)
+            v2 = jnp.where(is_e, gT[e_b[e]], v2)
+            for x in range(3):
+                ctr = gT[8 + x]
+                p1[x] = jnp.where(is_e, ctr + offs[e_a[e], x] * cell[x], p1[x])
+                p2[x] = jnp.where(is_e, ctr + offs[e_b[e], x] * cell[x], p2[x])
+        denom = v2 - v1
+        mu = jnp.where(denom == 0, 0.5,
+                       (0.0 - v1) / jnp.where(denom == 0, 1.0, denom))
+        return [p1[x] + mu * (p2[x] - p1[x]) for x in range(3)]
+
+    corners3 = [vert_xyz(eidT[j]) for j in range(3)]          # [3][3][tb]
+    wx = jnp.stack([corners3[j][0] for j in range(3)], 0)     # [3, tb]
+    wy = jnp.stack([corners3[j][1] for j in range(3)], 0)
+    wz = jnp.stack([corners3[j][2] for j in range(3)], 0)
+    vx, vy, vz = transform_points(global_transform, wx, wy, wz)
+    verts = jnp.stack([vx, vy, vz], -1).transpose(1, 0, 2)    # [tb, 3, 3]
+
+    colors = None
+    if center_rgb is not None:
+        colors = jnp.broadcast_to(jnp.take(center_rgb, c, axis=0)[:, None, :],
+                                  (tri_budget, 3, 3))
+    return MeshSoup(vertices=verts, colors=colors, tri_valid=ok_t,
+                    num_triangles=n_tris, overflowed=overflowed)
+
+
 def _emit_soup(cfg, global_transform, ci, cj, ck, vals, cube_ok, center_rgb,
                overflowed) -> MeshSoup:
     """Shared triangle-emission stage: table lookup + edge interpolation.
@@ -465,8 +565,94 @@ _NBR_BITS = ((1, 0, 0), (0, 1, 0), (0, 0, 1), (1, 1, 0),
              (1, 0, 1), (0, 1, 1), (1, 1, 1))
 
 
-def _corner_halo_kernel(min_weight: float, KBLK: int, V: int,
-                        dall_ref, wall_ref, dstack_ref, ok_ref):
+def _compact_from_loc(mask2d, loc, budget: int):
+    """Budgeted global compaction from per-row pack-left tables: returns
+    (ids [budget] int32 flat indices in ascending order, -1 padded; count).
+
+    Same contract and ordering as ``activation._compact`` over
+    ``mask2d.reshape(-1)``, but built from block offsets + two gathers
+    instead of a per-element scatter (~4.6 ns/elem on this TPU —
+    bench/mc_trace measured the KB*V=393k-element scatter at 1.8 ms)."""
+    NB, V = mask2d.shape
+    cnt = jnp.sum(mask2d, axis=1).astype(jnp.int32)          # [NB]
+    off = jnp.cumsum(cnt) - cnt                              # exclusive
+    n = off[-1] + cnt[-1]
+    r = jnp.arange(budget, dtype=jnp.int32)
+    blk = jnp.sum((off[None, :] <= r[:, None]).astype(jnp.int32), axis=1) - 1
+    blk = jnp.maximum(blk, 0)
+    rp = r - jnp.take(off, blk)
+    lv = jnp.take(loc.reshape(-1), blk * V + jnp.minimum(rp, V - 1))
+    ids = jnp.where((r < n) & (rp < V) & (lv >= 0), blk * V + lv, -1)
+    return ids, n
+
+
+def _pack_left_rows_kernel(RBLK: int, V: int, mask_ref, loc_ref):
+    """Standalone pack-left over [RBLK, V] int32 mask blocks (see
+    ``_pack_left``); used for triangle-soup compaction."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (RBLK, V), 1)
+    loc_ref[...] = _pack_left(mask_ref[...] > 0, lane, V)
+
+
+def _pack_left_rows(mask2d, interpret: bool):
+    """Per-row pack-left tables for an [NB, 512] int32 mask (rows padded to
+    the 64-row grid block in the caller's shape are fine: all-zero rows
+    produce loc = -1 and count 0)."""
+    NB, V = mask2d.shape
+    RBLK = 64
+    pad = (-NB) % RBLK
+    if pad:
+        mask2d = jnp.concatenate(
+            [mask2d, jnp.zeros((pad, V), mask2d.dtype)], 0)
+    loc = pl.pallas_call(
+        partial(_pack_left_rows_kernel, RBLK, V),
+        grid=((NB + pad) // RBLK,),
+        in_specs=[pl.BlockSpec((RBLK, V), lambda i: (i, 0))],
+        out_specs=pl.BlockSpec((RBLK, V), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((NB + pad, V), jnp.int32),
+        interpret=interpret,
+    )(mask2d)
+    return loc[:NB] if pad else loc
+
+
+def _pack_left(ok, lane, V: int):
+    """In-kernel stable stream compaction along lanes: returns loc where
+    loc[k, r] = lane index of the r-th set lane of ok[k] (-1 padded).
+
+    Butterfly pack: exclusive-prefix ranks give each active lane a
+    displacement d = lane - rank (monotone non-decreasing over active
+    lanes), which is retired one power of two per round, low bit first —
+    monotonicity guarantees a mover never lands on a lane that still holds
+    an element (the classic SIMD compaction; scatter-free, so it replaces
+    XLA's per-element scatter, ~4.6 ns/elem on this TPU, bench/mc_trace)."""
+    inc = ok.astype(jnp.int32)
+    cs = inc
+    sh = 1
+    while sh < V:
+        cs = cs + jnp.where(lane >= sh, pltpu.roll(cs, sh, 1), 0)
+        sh *= 2
+    d = lane - (cs - inc)                   # displacement of active lanes
+    data = jnp.where(ok, lane, -1)
+    act = inc
+    j = 0
+    while (1 << j) < V:
+        s = 1 << j
+        # circular wrap is benign: a wrapped source lane m = l+s-V has
+        # d <= m < 2^j, whose bit j is necessarily clear
+        data_r = pltpu.roll(data, V - s, 1)
+        d_r = pltpu.roll(d, V - s, 1)
+        act_r = pltpu.roll(act, V - s, 1)
+        take = (act_r > 0) & (((d_r >> j) & 1) > 0)
+        leave = (act > 0) & (((d >> j) & 1) > 0)
+        data = jnp.where(take, data_r, jnp.where(leave, -1, data))
+        d = jnp.where(take, d_r - s, d)
+        act = jnp.where(take, 1, jnp.where(leave, 0, act))
+        j += 1
+    return jnp.where(act > 0, data, -1)
+
+
+def _corner_halo_kernel(min_weight: float, KBLK: int, V: int, res: tuple,
+                        coords_ref, dall_ref, wall_ref,
+                        dstack_ref, ok_ref, loc_ref):
     """Per-block corner-stack assembly in VMEM via lane rolls.
 
     ``dall_ref``/``wall_ref``: [8, KBLK, V] — plane 0 is each brick's own
@@ -480,8 +666,13 @@ def _corner_halo_kernel(min_weight: float, KBLK: int, V: int,
     KB=1024, bench/mc_trace) with one kernel pass.
 
     Outputs: ``dstack_ref`` [8, KBLK, V] — corner c's normalized d in PCL
-    corner order — and ``ok_ref`` [KBLK, V] int32: all 8 corners valid
-    (w >= min_weight, |d| < 1) and a sign change straddles the cube."""
+    corner order; ``ok_ref`` [KBLK, V] int32: all 8 corners valid
+    (w >= min_weight, |d| < 1), a sign change straddles the cube, AND the
+    cube's lower corner is an interior voxel (``coords_ref`` [KBLK, 4]
+    carries each brick's coords, -1 rows for dead slots); ``loc_ref``
+    [KBLK, V] int32: per-brick pack-left of ok (r-th active cube's local
+    voxel id, -1 padded) so the caller's global compaction is offsets +
+    gathers instead of a 393k-element scatter."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (KBLK, V), 1)
     at_x = (lane // 64) == 7
     at_y = ((lane // 8) % 8) == 7
@@ -523,20 +714,33 @@ def _corner_halo_kernel(min_weight: float, KBLK: int, V: int,
         pos |= dc >= 0.0
     for c in range(8):
         dstack_ref[c] = dcs[c]
-    ok_ref[...] = (corner_ok & neg & pos).astype(jnp.int32)
+
+    # interior filter (marching_cubes_tsdf_octree.cpp:199-202); dead slots
+    # carry coords -1 so every cube fails vx >= 1
+    xr, yr, zr = res
+    vx = jnp.broadcast_to(coords_ref[:, 0:1] * 8, (KBLK, V)) + lane // 64
+    vy = jnp.broadcast_to(coords_ref[:, 1:2] * 8, (KBLK, V)) + (lane // 8) % 8
+    vz = jnp.broadcast_to(coords_ref[:, 2:3] * 8, (KBLK, V)) + lane % 8
+    interior = ((vx >= 1) & (vx < xr - 2) & (vy >= 1) & (vy < yr - 2)
+                & (vz >= 1) & (vz < zr - 2))
+    ok = corner_ok & neg & pos & interior
+    ok_ref[...] = ok.astype(jnp.int32)
+    loc_ref[...] = _pack_left(ok, lane, V)
 
 
 def _corner_stacks_pallas(bv, slots, min_weight: float, interpret: bool):
-    """Pallas-kernel corner stacks: same contract as ``_corner_stacks`` but
-    the halo assembly runs on-chip (requires brick_size == 8 and the brick
-    budget divisible by the 64-brick block). Neighbor blocks are fetched
-    with ONE row gather per field (8K rows) instead of 7 strided face
-    slices of the full capacity array."""
+    """Pallas-kernel corner stacks: same contract as ``_corner_stacks`` plus
+    a per-brick pack-left table, but the halo assembly runs on-chip
+    (requires brick_size == 8 and the brick budget divisible by the
+    64-brick block). Neighbor blocks are fetched with ONE row gather per
+    field (8K rows) instead of 7 strided face slices of the full capacity
+    array. Returns (dstack, cube_ok, loc [K, V], coords, slot_live)."""
     B = bv.brick_size
     V = B * B * B
     K = slots.shape[0]
     C = bv.capacity
     KBLK = 64
+    cfg = bv.config
     coords = jnp.take(bv.coords, jnp.minimum(slots, C - 1), axis=0)
     slot_live = (slots < C) & (coords[:, 0] >= 0)
     nbx, nby, nbz = bv.bricks_per_axis
@@ -555,30 +759,50 @@ def _corner_stacks_pallas(bv, slots, min_weight: float, interpret: bool):
                     fill_value=-1.0).reshape(8, K, V)
     wall = jnp.take(bv.weight.reshape(C, V), idx_all, axis=0, mode="fill",
                     fill_value=0.0).reshape(8, K, V)
+    coords_k = jnp.where(slot_live[:, None], coords, -1)
+    coords4 = jnp.concatenate([coords_k,
+                               jnp.zeros((K, 1), jnp.int32)], 1)  # lane pad
 
-    dstack8, ok = pl.pallas_call(
-        partial(_corner_halo_kernel, min_weight, KBLK, V),
+    dstack8, ok, loc = pl.pallas_call(
+        partial(_corner_halo_kernel, min_weight, KBLK, V,
+                (cfg.xres, cfg.yres, cfg.zres)),
         grid=(K // KBLK,),
-        in_specs=[pl.BlockSpec((8, KBLK, V), lambda i: (0, i, 0)),
+        in_specs=[pl.BlockSpec((KBLK, 4), lambda i: (i, 0)),
+                  pl.BlockSpec((8, KBLK, V), lambda i: (0, i, 0)),
                   pl.BlockSpec((8, KBLK, V), lambda i: (0, i, 0))],
         out_specs=[pl.BlockSpec((8, KBLK, V), lambda i: (0, i, 0)),
+                   pl.BlockSpec((KBLK, V), lambda i: (i, 0)),
                    pl.BlockSpec((KBLK, V), lambda i: (i, 0))],
         out_shape=[jax.ShapeDtypeStruct((8, K, V), jnp.float32),
+                   jax.ShapeDtypeStruct((K, V), jnp.int32),
                    jax.ShapeDtypeStruct((K, V), jnp.int32)],
         interpret=interpret,
-    )(dall, wall)
+    )(coords4, dall, wall)
     dstack = dstack8.transpose(1, 2, 0).reshape(K * V, 8)
-    cube_ok = (ok > 0) & _interior_mask(bv.config, coords, B, V) \
-        & slot_live[:, None]
-    return dstack, cube_ok, coords, slot_live
+    return dstack, ok > 0, loc, coords, slot_live
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9))
+def _uses_corner_kernel(corner_engine: str, brick_size: int,
+                        brick_budget: int) -> bool:
+    return (corner_engine != "xla" and brick_size == 8
+            and brick_budget % 64 == 0)
+
+
+def _uses_kernel_emit(corner_engine: str, brick_size: int, brick_budget: int,
+                      cube_budget: int) -> bool:
+    # the pack-left tri compaction reshapes the [cube_budget * MAX] mask to
+    # 512 lanes; callers with odd custom budgets fall back to emit+compact
+    return (_uses_corner_kernel(corner_engine, brick_size, brick_budget)
+            and (cube_budget * MAX_TRIS_PER_CUBE) % 512 == 0)
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
 def _marching_cubes_brick_chunk(bv, stats, slot0, n_slots: int,
                                 cube_budget: int, brick_budget: int,
                                 min_weight: float, color_by_rgb: bool,
                                 color_by_confidence: bool,
-                                corner_engine: str = "xla"):
+                                corner_engine: str = "xla",
+                                tri_budget: int = 0):
     """Triangles for cubes whose lower-corner voxel lies in bricks
     [slot0, slot0 + n_slots). Every voxel belongs to exactly one brick, so
     chunks never duplicate cubes. `stats` is the `_brick_stats` pair.
@@ -627,14 +851,16 @@ def _marching_cubes_brick_chunk(bv, stats, slot0, n_slots: int,
     cand_slots = jnp.where(bidx >= 0, bidx, C)
 
     # ---- exact cube filter over candidates only --------------------------
-    if corner_engine != "xla" and B == 8 and KB % 64 == 0:
-        dstack, cube_ok, coords, slot_live = _corner_stacks_pallas(
+    if _uses_corner_kernel(corner_engine, B, KB):
+        dstack, cube_ok, loc, coords, slot_live = _corner_stacks_pallas(
             bv, cand_slots, min_weight, corner_engine == "interpret")
+        idx2, n_cubes = _compact_from_loc(cube_ok, loc, cube_budget)
     else:
         dstack, cube_ok, coords, slot_live = _corner_stacks(bv, cand_slots,
                                                             min_weight)
-    idx2, n_cubes = _compact(cube_ok.reshape(-1),
-                             jnp.arange(KB * V, dtype=jnp.int32), cube_budget)
+        idx2, n_cubes = _compact(cube_ok.reshape(-1),
+                                 jnp.arange(KB * V, dtype=jnp.int32),
+                                 cube_budget)
     ok2 = idx2 >= 0
     i2 = jnp.maximum(idx2, 0)
     s = i2 // V                           # candidate row of each cube
@@ -665,8 +891,14 @@ def _marching_cubes_brick_chunk(bv, stats, slot0, n_slots: int,
         bb = jnp.clip(std_dev * 255.0, 0.0, 255.0)
         center_rgb = jnp.stack([r, jnp.zeros_like(r), bb], -1)
 
-    soup = _emit_soup(cfg, bv.global_transform, cvx, cvy, cvz, vals, ok2,
-                      center_rgb, n_cubes > cube_budget)
+    if tri_budget and _uses_kernel_emit(corner_engine, B, KB, cube_budget):
+        soup = _emit_soup_compacted(cfg, bv.global_transform, cvx, cvy, cvz,
+                                    vals, ok2, center_rgb,
+                                    n_cubes > cube_budget, tri_budget,
+                                    corner_engine == "interpret")
+    else:
+        soup = _emit_soup(cfg, bv.global_transform, cvx, cvy, cvz, vals, ok2,
+                          center_rgb, n_cubes > cube_budget)
     return soup, brick_ovf, n_cubes, n_bricks
 
 
@@ -685,8 +917,12 @@ def _extract_chunk_compact(bv, stats, slot0, n_slots: int, cube_budget: int,
     n_tris, cube_ovf, brick_ovf, tri_ovf, n_cubes, n_bricks)."""
     soup, brick_ovf, n_cubes, n_bricks = _marching_cubes_brick_chunk(
         bv, stats, slot0, n_slots, cube_budget, brick_budget, min_weight,
-        color_by_rgb, color_by_confidence, corner_engine)
-    verts, cols = _compact_soup(soup, tri_budget)
+        color_by_rgb, color_by_confidence, corner_engine, tri_budget)
+    if _uses_kernel_emit(corner_engine, bv.brick_size, brick_budget,
+                         cube_budget):
+        verts, cols = soup.vertices, soup.colors  # already compacted
+    else:
+        verts, cols = _compact_soup(soup, tri_budget)
     n = soup.num_triangles
     out = jnp.stack([n, soup.overflowed.astype(jnp.int32),
                      brick_ovf.astype(jnp.int32),

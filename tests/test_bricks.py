@@ -236,8 +236,11 @@ def test_brick_extraction_budget_hint_unchecked(scene):
 
 
 def test_brick_extraction_pallas_corner_parity(scene):
-    """The Pallas halo corner kernel (interpret mode on CPU) produces the
-    IDENTICAL triangle set as the XLA concat-tree corner stacks."""
+    """The Pallas halo corner + pack-left kernels (interpret mode on CPU)
+    produce the same triangles, in the same cube-major order, as the XLA
+    concat-tree + scatter-compaction path (1-ulp tolerance: the SoA
+    compact-then-emit computes the identical interpolation through a
+    differently-shaped graph, so FMA contraction may differ)."""
     from cpu_tsdf_tpu.ops.marching_cubes import extract_soup_bricks
 
     cfg, pose, depth = scene
@@ -246,8 +249,6 @@ def test_brick_extraction_pallas_corner_parity(scene):
     sx = extract_soup_bricks(bv, min_weight=0.5, corner_engine="xla")
     sp = extract_soup_bricks(bv, min_weight=0.5, corner_engine="interpret")
     assert int(sx.num_triangles) == int(sp.num_triangles) > 100
-    vx, fx, _ = sx.to_numpy()
-    vp, fp, _ = sp.to_numpy()
-    a = set(map(tuple, np.round(vx * 1e6).astype(np.int64)))
-    b = set(map(tuple, np.round(vp * 1e6).astype(np.int64)))
-    assert a == b
+    vx = np.asarray(sx.vertices)[np.asarray(sx.tri_valid)]
+    vp = np.asarray(sp.vertices)[np.asarray(sp.tri_valid)]
+    np.testing.assert_allclose(vx, vp, atol=1e-6)
