@@ -344,24 +344,29 @@ def fuse_brick_batch(cfg: TSDFConfig, B: int, bx, by, bz, slot_ok, slots,
     cy = (vy.astype(jnp.float32) + 0.5) * (cfg.ysize / cfg.yres) - cfg.ysize / 2
     cz = (vz.astype(jnp.float32) + 0.5) * (cfg.zsize / cfg.zres) - cfg.zsize / 2
 
-    # gather current state for the update batch (clipped row gather; invalid
-    # rows are masked by `valid`, so their content is irrelevant)
+    # current state for the update batch comes from a clipped row gather
+    # (invalid rows are masked by `valid`); the gathers are LAZY — the
+    # kernel path updates in place via slot-indexed aliased blocks and only
+    # needs them under the rare fallback cond or for color, so hoisting
+    # them to the top cost ~2.2 ms/frame of dead [K, 512] gathers
+    # (bench/integrate_trace)
     slots_c = jnp.clip(slots, 0, C - 1)
 
     def g(a):
         return jnp.take(a, slots_c, axis=0)
 
-    d0, w0, M0, n0 = g(sdf), g(weight), g(M), g(nsample)
-
-    if cfg.frustum_culling:
-        from .ops.fusion import coarse_cell_frustum
-
-        frustum = coarse_cell_frustum(cfg, pose_inv, vx, vy, vz)
-    else:
-        frustum = jnp.ones(vx.shape, bool)
-
     def xla_update():
-        """Reference XLA path: per-voxel observation + fusion for the batch."""
+        """Reference XLA path: per-voxel observation + fusion for the batch.
+
+        Returns (du, wu, Mu, nu, valid, w0, w_eff, u, v) — w0 rides along
+        for the callers' color update."""
+        d0, w0, M0, n0 = g(sdf), g(weight), g(M), g(nsample)
+        if cfg.frustum_culling:
+            from .ops.fusion import coarse_cell_frustum
+
+            frustum = coarse_cell_frustum(cfg, pose_inv, vx, vy, vz)
+        else:
+            frustum = jnp.ones(vx.shape, bool)
         d_obs, w_obs, valid, _, u, v = compute_observation(cfg, depth, pose_inv, cx, cy, cz)
         valid &= frustum & slot_ok[:, None, None, None]
         w_eff = w_obs
@@ -378,7 +383,7 @@ def fuse_brick_batch(cfg: TSDFConfig, B: int, bx, by, bz, slot_ok, slots,
         wu = jnp.where(valid, wu, w0)
         Mu = jnp.where(valid, Mu, M0)
         nu = jnp.where(valid, nu, n0)
-        return du, wu, Mu, nu, valid, w_eff, u, v
+        return du, wu, Mu, nu, valid, w0, w_eff, u, v
 
     color_active = color is not None and rgb is not None
     if use_pallas:
@@ -401,7 +406,7 @@ def fuse_brick_batch(cfg: TSDFConfig, B: int, bx, by, bz, slot_ok, slots,
         need_fb = jnp.any(slot_ok & ~kernel_ok)
 
         def compute_fb(_):
-            du, wu, Mu, nu, valid, w_eff, u, v = xla_update()
+            du, wu, Mu, nu, valid, w0, w_eff, u, v = xla_update()
             out = (du, wu, Mu, nu)
             if color_active:
                 c0 = jnp.take(color, slots_c, axis=0)
@@ -413,13 +418,15 @@ def fuse_brick_batch(cfg: TSDFConfig, B: int, bx, by, bz, slot_ok, slots,
             return out
 
         def zero_fb(_):
-            # derived from the (possibly device-varying) batch state so both
-            # cond branches agree on varying-axis types under shard_map
-            z = w0 * 0.0
-            out = (z, z, z, n0 * 0)
+            # derived from the (possibly device-varying) carried arrays so
+            # both cond branches agree on varying-axis types under shard_map
+            K4 = (K, B, B, B)
+            z = jnp.zeros(K4) + 0.0 * sdf.reshape(-1)[0]
+            out = (z, z, z, jnp.zeros(K4, nsample.dtype)
+                   + 0 * nsample.reshape(-1)[0])
             if color_active:
                 out += (jnp.broadcast_to(z[..., None],
-                                         z.shape + (color.shape[-1],)),)
+                                         K4 + (color.shape[-1],)),)
             return out
 
         fb = jax.lax.cond(need_fb, compute_fb, zero_fb, None)
@@ -447,6 +454,8 @@ def fuse_brick_batch(cfg: TSDFConfig, B: int, bx, by, bz, slot_ok, slots,
             weff = weff.reshape(k4)
             cvalid = (weff >= 0) & (slot_ok & kernel_ok)[:, None, None, None]
             c0 = jnp.take(color, slots_c, axis=0)
+            w0 = g(weight)  # PRE-update weights (the kernel updated in place
+            # via aliasing, but `weight` still names the pre-update buffer)
             cu = color_ops.update_color(cfg.color_mode, c0, w0, rr, gg, bb,
                                         jnp.maximum(weff, 0.0))
             cu = jnp.where(cvalid[..., None], cu, c0)
@@ -473,7 +482,7 @@ def fuse_brick_batch(cfg: TSDFConfig, B: int, bx, by, bz, slot_ok, slots,
         new_sdf, new_w, new_M, new_n = state[:4]
         return new_sdf, new_w, new_M, new_n, new_color
 
-    d1, w1, M1, n1, valid, w_eff, u, v = xla_update()
+    d1, w1, M1, n1, valid, w0, w_eff, u, v = xla_update()
     new_color = color
     if color_active:
         c0 = jnp.take(color, slots_c, axis=0)
