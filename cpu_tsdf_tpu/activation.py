@@ -75,15 +75,24 @@ def depth_mips(depth: jnp.ndarray) -> DepthMips:
     shapes = mip_shapes(H, W)
     Hp, Wp = shapes[0]
     inf = jnp.float32(jnp.inf)
-    dmin = jnp.full((Hp, Wp), inf)
-    dmin = dmin.at[:H, :W].set(jnp.where(jnp.isnan(depth), inf, depth))
-    dmax = jnp.full((Hp, Wp), -inf)
-    dmax = dmax.at[:H, :W].set(jnp.where(jnp.isnan(depth), -inf, depth))
+    if (Hp, Wp) == (H, W):
+        # already pow2: the NaN masks fuse into the first reduce (the
+        # pad-copy pair cost ~0.4 ms/frame at 512x512, bench/integrate_trace)
+        dmin = jnp.where(jnp.isnan(depth), inf, depth)
+        dmax = jnp.where(jnp.isnan(depth), -inf, depth)
+    else:
+        dmin = jnp.full((Hp, Wp), inf)
+        dmin = dmin.at[:H, :W].set(jnp.where(jnp.isnan(depth), inf, depth))
+        dmax = jnp.full((Hp, Wp), -inf)
+        dmax = dmax.at[:H, :W].set(jnp.where(jnp.isnan(depth), -inf, depth))
 
     mins, maxs = [dmin], [dmax]
     for (h, w) in shapes[1:]:
         ph, pw = mins[-1].shape
         rh, rw = ph // h, pw // w  # 2 (or 1 at a collapsed axis)
+        # NOTE: lax.reduce_window here sent the TPU compiler into a
+        # pathological >40 min compile (round 3); the reshape relayout is
+        # ~0.2 ms/level-0 but compiles instantly
         m = mins[-1].reshape(h, rh, w, rw)
         mins.append(jnp.min(m, axis=(1, 3)))
         x = maxs[-1].reshape(h, rh, w, rw)
