@@ -141,3 +141,49 @@ def test_confidence_coloring():
     np.testing.assert_allclose(cols[:, 0], 25.5, atol=0.5)
     np.testing.assert_allclose(cols[:, 2], 229.5, atol=0.5)
     np.testing.assert_allclose(cols[:, 1], 0.0, atol=0.1)
+
+
+def test_pack_left_rows_random_masks():
+    """The butterfly pack-left kernel (interpret mode) must list each row's
+    set lanes in ascending order, -1 padded — property-checked against
+    numpy on adversarial densities."""
+    import numpy as np
+    from cpu_tsdf_tpu.ops.marching_cubes import _pack_left_rows
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for dens in (0.0, 0.02, 0.5, 0.97, 1.0):
+        rows.append((rng.uniform(size=(8, 512)) < dens).astype(np.int32))
+    # adversarial single rows: one set bit at each end, alternating runs
+    extra = np.zeros((4, 512), np.int32)
+    extra[0, 0] = 1
+    extra[1, 511] = 1
+    extra[2, ::2] = 1
+    extra[3, 300:310] = 1
+    mask = np.concatenate(rows + [extra], 0)
+    loc = np.asarray(_pack_left_rows(jnp.asarray(mask), interpret=True))
+    for r in range(mask.shape[0]):
+        want = np.flatnonzero(mask[r])
+        np.testing.assert_array_equal(loc[r, :len(want)], want)
+        assert (loc[r, len(want):] == -1).all()
+
+
+def test_compact_from_loc_matches_scatter_compact():
+    """_compact_from_loc (offsets + gathers) must reproduce the scatter
+    compaction's ids and count exactly, including budget overflow."""
+    import numpy as np
+    from cpu_tsdf_tpu.activation import _compact
+    from cpu_tsdf_tpu.ops.marching_cubes import (_compact_from_loc,
+                                                 _pack_left_rows)
+
+    rng = np.random.RandomState(11)
+    mask = (rng.uniform(size=(24, 512)) < 0.07).astype(np.int32)
+    loc = _pack_left_rows(jnp.asarray(mask), interpret=True)
+    for budget in (64, 1024, 4096):
+        ids, n = _compact_from_loc(jnp.asarray(mask), loc, budget)
+        flat = mask.reshape(-1)
+        ref_ids, ref_n = _compact(jnp.asarray(flat, bool),
+                                  jnp.arange(flat.size, dtype=jnp.int32),
+                                  budget)
+        assert int(n) == int(ref_n)
+        np.testing.assert_array_equal(np.asarray(ids), np.asarray(ref_ids))
