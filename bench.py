@@ -46,7 +46,9 @@ FALLBACK_BASELINE = {"integrate_fps": 72.5, "raycast_rays_per_s": 2.87e6}
 
 WARMUP_FRAMES = 10
 BATCHES = 5
-FRAMES_PER_BATCH = 20
+# ~30 ms tunnel-fence floor per batch: at ~7 ms/frame, 20-frame batches
+# under-report by ~20%; 50 frames keeps the floor under 10%
+FRAMES_PER_BATCH = 50
 
 
 def log(*a):
@@ -230,7 +232,7 @@ def main():
         rates = []
         for _ in range(3):
             t0 = time.time()
-            n = 5
+            n = 10  # ~31 ms/render: amortize the ~30 ms fence floor to <10%
             for _ in range(n):
                 pack = make_render_pack(bv, 4096)
                 res, _ = _render_pallas_jit(pack, pose, 1, 32768, False, False)
@@ -332,10 +334,10 @@ def main():
             _ = float(fence(bv2.weight))
             log(f"2048 compile+first: {time.time()-t0:.1f}s n={int(bv2.n_active)}")
             t0 = time.time()
-            for _ in range(20):
+            for _ in range(50):
                 bv2 = integrate_bricks(bv2, d2, pose, None, budget, use_pallas, False)
             _ = float(fence(bv2.weight))
-            extra["integrate_2048_fps"] = round(20 / (time.time() - t0), 2)
+            extra["integrate_2048_fps"] = round(50 / (time.time() - t0), 2)
             log(f"2048^3 integrate: {extra['integrate_2048_fps']} fps")
 
             # full-res render at the 2048^3 working point (round-2 verdict:
