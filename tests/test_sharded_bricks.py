@@ -134,3 +134,28 @@ def test_sharded_color_fusion_matches_single_device(mesh, scene):
                                       np.asarray(sd.weight)[obs])
         np.testing.assert_array_equal(np.asarray(md.color)[obs],
                                       np.asarray(sd.color)[obs])
+
+
+def test_sharded_budget_per_device_overflow_flag(mesh, scene):
+    """A slab denser than budget_per_device must raise `overflowed`, never
+    drop bricks silently; a sufficient per-device budget stays bit-equal to
+    the global-budget result."""
+    cfg, pose, depth = scene
+    full = make_sharded_brick_volume(cfg, mesh, 8, capacity_per_device=512)
+    full = integrate_bricks_sharded(full, depth, pose, mesh,
+                                    update_budget=4096)
+    assert not bool(np.asarray(full.overflowed))
+
+    tight = make_sharded_brick_volume(cfg, mesh, 8, capacity_per_device=512)
+    tight = integrate_bricks_sharded(tight, depth, pose, mesh,
+                                     update_budget=4096, budget_per_device=8)
+    assert bool(np.asarray(tight.overflowed))
+
+    ok = make_sharded_brick_volume(cfg, mesh, 8, capacity_per_device=512)
+    ok = integrate_bricks_sharded(ok, depth, pose, mesh, update_budget=4096,
+                                  budget_per_device=512)
+    assert not bool(np.asarray(ok.overflowed))
+    mf, mo = merge_sharded(full), merge_sharded(ok)
+    df, do = to_dense(mf), to_dense(mo)
+    np.testing.assert_array_equal(np.asarray(do.weight), np.asarray(df.weight))
+    np.testing.assert_array_equal(np.asarray(do.sdf), np.asarray(df.sdf))
