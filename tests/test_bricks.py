@@ -252,3 +252,24 @@ def test_brick_extraction_pallas_corner_parity(scene):
     vx = np.asarray(sx.vertices)[np.asarray(sx.tri_valid)]
     vp = np.asarray(sp.vertices)[np.asarray(sp.tri_valid)]
     np.testing.assert_allclose(vx, vp, atol=1e-6)
+
+
+def test_brick_extraction_kernel_emit_budget_retry(scene):
+    """Triangle-budget overflow on the kernel (compact-then-emit) path must
+    retry with doubled budgets and produce the full mesh."""
+    from cpu_tsdf_tpu.ops.marching_cubes import extract_soup_bricks
+
+    cfg, pose, depth = scene
+    bv = make_brick_volume(cfg, brick_size=8, capacity=2048)
+    bv = integrate_bricks(bv, jnp.asarray(depth), jnp.asarray(pose, jnp.float32))
+    sref = extract_soup_bricks(bv, min_weight=0.5, corner_engine="interpret")
+    n = int(sref.num_triangles)
+    assert n > 512
+    stight = extract_soup_bricks(bv, min_weight=0.5, tri_budget=512,
+                                 corner_engine="interpret")
+    assert int(stight.num_triangles) == n
+    assert not bool(stight.overflowed)
+    va = np.asarray(sref.vertices)[np.asarray(sref.tri_valid)]
+    vb = np.asarray(stight.vertices)[np.asarray(stight.tri_valid)]
+    np.testing.assert_allclose(np.sort(va.reshape(-1, 9), axis=0),
+                               np.sort(vb.reshape(-1, 9), axis=0), atol=1e-6)
