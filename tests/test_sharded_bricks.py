@@ -93,6 +93,17 @@ def test_sharded_bricks_render_and_mesh(mesh, scene):
     rr = np.linalg.norm(v - np.array([-0.0, -0.0, 0.0]), axis=1)
     # vertices near the fused sphere surface (r=0.3 around volume origin-ish)
     assert np.abs(np.median(rr) - 0.3) < 0.05
+    # the kernel extraction engine handles the merged volume's per-device
+    # slot GAPS (liveness from coords, not a prefix assumption)
+    from cpu_tsdf_tpu.ops.marching_cubes import extract_soup_bricks
+
+    sk = extract_soup_bricks(merged, min_weight=0.5,
+                             corner_engine="interpret")
+    sx = extract_soup_bricks(merged, min_weight=0.5, corner_engine="xla")
+    assert int(sk.num_triangles) == int(sx.num_triangles) == len(f)
+    vk = np.asarray(sk.vertices)[np.asarray(sk.tri_valid)]
+    vx = np.asarray(sx.vertices)[np.asarray(sx.tri_valid)]
+    np.testing.assert_allclose(vk, vx, atol=1e-6)
 
 
 def test_sharded_pallas_kernel_matches_xla(mesh, scene):
