@@ -404,3 +404,57 @@ def test_256cubed_noisy_trajectory_matches_compiled_reference(have_ref):
     for ours, theirs in ((r_, rec["r"]), (g_, rec["g"]), (b_, rec["b"])):
         got = np.asarray(ours)[ix, iy, iz][same]
         assert (np.abs(got - theirs.astype(np.float32)[same]) <= 1.0).mean() > 0.99
+
+
+@pytest.mark.slow
+def test_multi_object_scene_matches_compiled_reference(have_ref, small_cfg):
+    """Non-sphere geometry golden: a tilted plane behind a sphere (grazing
+    incidence, a large flat truncation band, and occlusion boundaries in one
+    frame) fused twice from different poses must match the compiled
+    reference octree exactly where sample counts agree."""
+    cfg = small_cfg.with_updates(frustum_culling=False)
+    W, H = cfg.image_width, cfg.image_height
+    fx, fy = cfg.focal_length_x, cfg.focal_length_y
+    cx_, cy_ = cfg.principal_point_x, cfg.principal_point_y
+
+    def scene_depth(pose):
+        uu, vv = np.meshgrid(np.arange(W), np.arange(H))
+        dirs = np.stack([(uu - cx_) / fx, (vv - cy_) / fy,
+                         np.ones_like(uu, float)], -1)
+        d_w = dirs @ pose[:3, :3].T
+        o = pose[:3, 3]
+        # sphere at (−0.1, 0, 0.15), r=0.22 (volume frame)
+        cs = np.array([-0.1, 0.0, 0.15])
+        b = 2.0 * np.einsum("hwc,c->hw", d_w, o - cs)
+        disc = b * b - 4 * (np.dot(o - cs, o - cs) - 0.22 ** 2)
+        ts = np.where(disc > 0, (-b - np.sqrt(np.maximum(disc, 0))) / 2, np.inf)
+        ts = np.where(ts > 0.05, ts, np.inf)
+        # tilted plane: n·x = c with n = normalize(0.25, 0.1, -1), c = -0.55
+        n = np.array([0.25, 0.1, -1.0]); n /= np.linalg.norm(n)
+        denom = np.einsum("hwc,c->hw", d_w, n)
+        tp = (-0.55 - np.dot(o, n)) / np.where(np.abs(denom) < 1e-6, np.inf,
+                                               denom)
+        tp = np.where(tp > 0.05, tp, np.inf)
+        t = np.minimum(ts, tp)
+        z = np.where(np.isfinite(t), t * dirs[..., 2], np.nan)
+        return z.astype(np.float32)
+
+    frames = []
+    for (tx, tz) in ((0.0, -0.95), (0.08, -0.9)):
+        pose = tilted_pose(tx=tx, tz=tz)
+        frames.append((pose, scene_depth(pose)))
+    ref = _run_reference(cfg, frames)
+    vol = make_volume(cfg)
+    for pose, depth in frames:
+        vol = integrate(vol, jnp.asarray(depth), jnp.asarray(pose, jnp.float32))
+    ix, iy, iz = ref["idx"]
+    rec = ref["rec"]
+    assert len(rec) > 3000, len(rec)
+    # the octree splits lazily, so late-split leaves legitimately miss the
+    # first frame; compare voxels with identical observation history
+    same = np.asarray(vol.nsample)[ix, iy, iz] == rec["ns"]
+    assert same.mean() > 0.85 and same.sum() > 3000, (same.mean(), same.sum())
+    np.testing.assert_allclose(np.asarray(vol.sdf)[ix, iy, iz][same],
+                               rec["d"][same], atol=2e-5)
+    np.testing.assert_allclose(np.asarray(vol.weight)[ix, iy, iz][same],
+                               rec["w"][same], atol=1e-5)
