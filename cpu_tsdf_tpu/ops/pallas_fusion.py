@@ -36,6 +36,7 @@ storage keeps its [C, B, B, B, nc] layout.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -47,6 +48,15 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import TSDFConfig
 
 BAND_ROWS = 128    # depth rows visible to one brick's footprint
+# Column window for the depth lookup: the one-hot matmul contracts over the
+# window width, so 256 instead of a 640-wide image cuts the kernel's MXU
+# work 2.5x. Off by default until measured on hardware (the windowed band
+# needs a lane-dim pl.ds, unproven on this Mosaic toolchain).
+DEPTH_WINDOW_COLS = 256
+# Default for the column window (TSDF_FUSE_WINDOW=1 enables; callers read
+# this at call time, so tests can monkeypatch it — the flag is a static jit
+# arg, never baked into a cached executable under a stale value).
+USE_DEPTH_WINDOW = os.environ.get("TSDF_FUSE_WINDOW", "0") == "1"
 NAN_SENTINEL = 1e9
 
 
@@ -89,15 +99,34 @@ def unpack_rgb(p):
 # XLA row gather/scatter around the batch entirely.
 # ---------------------------------------------------------------------------
 
-def brick_meta(cfg: TSDFConfig, B: int, bx, by, bz, slot_ok, pose_inv):
+def _padded_width(cfg: TSDFConfig) -> int:
+    return int(-(-cfg.image_width // 128) * 128)
+
+
+def _window_active(cfg: TSDFConfig, window: bool) -> bool:
+    """Column windowing pays off only when the padded image is wider than
+    the window itself (otherwise the full width IS the window)."""
+    return bool(window) and _padded_width(cfg) > DEPTH_WINDOW_COLS
+
+
+def brick_meta(cfg: TSDFConfig, B: int, bx, by, bz, slot_ok, pose_inv,
+               window: bool = False):
     """Per-brick kernel metadata: voxel base coords, depth band row origin,
-    and the footprint-fits flag. Pure elementwise JAX."""
+    the footprint-fits flag, and (with `window`) the depth column-window
+    index. Pure elementwise JAX.
+
+    Corner projections bound every interior voxel's pixel coordinate:
+    u = (fx·px + cx·pz)/pz is linear-fractional in the voxel position, so
+    its extrema over the brick box lie at the 8 corners whenever zmin > 0
+    (which `fits` requires)."""
     from ..geometry import transform_points
 
     base_x, base_y, base_z = bx * B, by * B, bz * B
-    # project the 8 brick corners to bound the pixel-row footprint
+    # project the 8 brick corners to bound the pixel footprint
     vmin = jnp.full(bx.shape, jnp.inf, jnp.float32)
     vmax = jnp.full(bx.shape, -jnp.inf, jnp.float32)
+    umin = jnp.full(bx.shape, jnp.inf, jnp.float32)
+    umax = jnp.full(bx.shape, -jnp.inf, jnp.float32)
     zmin = jnp.full(bx.shape, jnp.inf, jnp.float32)
     for dx in (0, 1):
         for dy in (0, 1):
@@ -108,8 +137,11 @@ def brick_meta(cfg: TSDFConfig, B: int, bx, by, bz, slot_ok, pose_inv):
                 px, py, pz = transform_points(pose_inv, cxx, cyy, czz)
                 zs = jnp.where(pz > 1e-6, pz, jnp.inf)
                 vf = py * cfg.focal_length_y / zs + cfg.principal_point_y
+                uf = px * cfg.focal_length_x / zs + cfg.principal_point_x
                 vmin = jnp.minimum(vmin, vf)
                 vmax = jnp.maximum(vmax, vf)
+                umin = jnp.minimum(umin, uf)
+                umax = jnp.maximum(umax, uf)
                 zmin = jnp.minimum(zmin, pz)
     H = cfg.image_height
     rows_needed = vmax - jnp.maximum(vmin, 0.0)
@@ -121,10 +153,19 @@ def brick_meta(cfg: TSDFConfig, B: int, bx, by, bz, slot_ok, pose_inv):
     fits = (rows_needed < BAND_ROWS - 10) & (zmin > 0)
     v0 = jnp.clip(jnp.floor(vmin).astype(jnp.int32) - 1, 0, max(H - BAND_ROWS, 0))
     v0 = (v0 // 8) * 8
+    wi = jnp.zeros_like(base_x)
+    if _window_active(cfg, window):
+        # depth column window [128*wi, 128*wi + DEPTH_WINDOW_COLS): every
+        # in-image voxel u must land inside it. umin < 0 clips wi to 0 (u<0
+        # voxels fail proj_ok); the top clip keeps the window inside the
+        # padded image, which covers u >= 128*wi automatically.
+        nw = (_padded_width(cfg) - DEPTH_WINDOW_COLS) // 128 + 1
+        wi = jnp.clip(jnp.floor(umin).astype(jnp.int32) // 128, 0, nw - 1)
+        fits &= umax < (wi * 128 + (DEPTH_WINDOW_COLS - 2)).astype(jnp.float32)
     ok = slot_ok & fits
     zero = jnp.zeros_like(base_x)
     meta = jnp.stack([base_x, base_y, base_z, v0 // 8, ok.astype(jnp.int32),
-                      zero, zero, zero], -1).astype(jnp.int32)
+                      zero, wi, zero], -1).astype(jnp.int32)
     return meta, ok
 
 
@@ -135,13 +176,16 @@ MAX_BRICKS_PER_CALL = 1024
 
 
 def _kernel_inplace(cfg: TSDFConfig, B: int, W: int, n_coarse: int,
-                    want_color: bool, meta_ref, pose_ref, depth_ref, *refs):
+                    want_color: bool, window: bool,
+                    meta_ref, pose_ref, depth_ref, *refs):
     """One grid step = one brick at block [1, 4, V/4]; slot-indexed blocks.
 
     Without color: refs = (d0, w0, M0, n0, d1, w1, M1, n1).
     With color:    refs = (rgb, d0, w0, M0, n0, d1, w1, M1, n1, rgbp, weff)
     where rgb is the packed color image, rgbp/weff are per-batch-brick aux
-    outputs (block [1, S, L] at grid index k)."""
+    outputs (block [1, S, L] at grid index k). With `window` the depth (and
+    rgb) band is additionally column-sliced to the brick's
+    DEPTH_WINDOW_COLS-wide window (meta col 6)."""
     import math as _math
 
     if want_color:
@@ -201,15 +245,28 @@ def _kernel_inplace(cfg: TSDFConfig, B: int, W: int, n_coarse: int,
     else:
         frustum = jnp.full((S, L), True)
 
-    # depth lookup: per-sublane-chunk one-hot matmul + row-mask reduce
-    band = depth_ref[pl.ds(v0, BAND_ROWS), :]                 # [BAND, W]
-    band_rgb = rgb_ref[pl.ds(v0, BAND_ROWS), :] if want_color else None
+    # depth lookup: per-sublane-chunk one-hot matmul + row-mask reduce.
+    # The matmul contracts over the band width, so the window slice (column
+    # origin from meta, lane-aligned to 128) divides the MXU work by
+    # W / DEPTH_WINDOW_COLS.
+    if window:
+        ubase = meta_ref[k, 6] * 128
+        u0 = pl.multiple_of(ubase, 128)
+        WB = DEPTH_WINDOW_COLS
+        band = depth_ref[pl.ds(v0, BAND_ROWS), pl.ds(u0, WB)]  # [BAND, WB]
+        band_rgb = (rgb_ref[pl.ds(v0, BAND_ROWS), pl.ds(u0, WB)]
+                    if want_color else None)
+    else:
+        ubase = 0
+        WB = W
+        band = depth_ref[pl.ds(v0, BAND_ROWS), :]              # [BAND, W]
+        band_rgb = rgb_ref[pl.ds(v0, BAND_ROWS), :] if want_color else None
     z_chunks = []
     p_chunks = []
     for c in range(S):
-        u_c = u[c:c + 1, :]                                    # [1, L]
-        col_iota = jax.lax.broadcasted_iota(jnp.int32, (W, L), 0)
-        onehot = (col_iota == jnp.clip(u_c, 0, W - 1)).astype(f32)   # [W, L]
+        u_c = u[c:c + 1, :] - ubase                            # [1, L]
+        col_iota = jax.lax.broadcasted_iota(jnp.int32, (WB, L), 0)
+        onehot = (col_iota == jnp.clip(u_c, 0, WB - 1)).astype(f32)  # [WB, L]
         m1 = jnp.dot(band, onehot, preferred_element_type=f32)       # [BAND, L]
         vrel = jnp.clip(v[c:c + 1, :] - v0, 0, BAND_ROWS - 1)
         row_iota = jax.lax.broadcasted_iota(jnp.int32, (BAND_ROWS, L), 0)
@@ -260,10 +317,12 @@ def _kernel_inplace(cfg: TSDFConfig, B: int, W: int, n_coarse: int,
         weff_ref[0] = jnp.where(valid, w_new, -1.0)
 
 
-@partial(jax.jit, static_argnums=(0, 1, 8), donate_argnums=(4, 5, 6, 7))
+@partial(jax.jit, static_argnums=(0, 1, 8),
+         static_argnames=("interpret", "window"),
+         donate_argnums=(4, 5, 6, 7))
 def fuse_bricks_inplace(cfg: TSDFConfig, B: int, meta, pose_inv_flat, sdf,
                         weight, M, nsample, interpret: bool = False, depth=None,
-                        rgb_packed=None):
+                        rgb_packed=None, window: bool = False):
     """In-place brick fusion over the FULL volume arrays.
 
     meta: [K, 8] int32 (base_x/y/z, v0/8, ok, slot, 0, 0) — slot indexes the
@@ -283,7 +342,8 @@ def fuse_bricks_inplace(cfg: TSDFConfig, B: int, meta, pose_inv_flat, sdf,
     W = depth.shape[1]
     n_coarse = 1 << cfg.num_coarse_levels
     want_color = rgb_packed is not None
-    kern = partial(_kernel_inplace, cfg, B, W, n_coarse, want_color)
+    kern = partial(_kernel_inplace, cfg, B, W, n_coarse, want_color,
+                   _window_active(cfg, window))
 
     def run_chunk(meta_c, arrays):
         sdf_, w_, M_, n_ = arrays

@@ -86,3 +86,29 @@ def test_pallas_weighting_options(small_cfg):
     # the exp() in the variance gate amplifies f32 association differences
     np.testing.assert_allclose(np.asarray(bp.sdf), np.asarray(bx.sdf), atol=1e-2)
     np.testing.assert_allclose(np.asarray(bp.weight), np.asarray(bx.weight), atol=1e-2)
+
+
+def test_pallas_window_matches_full_band(small_cfg):
+    """The column-windowed depth lookup (a DEPTH_WINDOW_COLS-wide band slice
+    per brick, meta col 6) must fuse identically to the full-width lookup —
+    the matmul only drops all-zero terms. Uses a 640-px-wide image so the
+    window is genuinely narrower than the padded width."""
+    cfg = small_cfg.with_updates(
+        image_width=640, image_height=480, focal_length_x=525.0,
+        focal_length_y=525.0, principal_point_x=319.5, principal_point_y=239.5)
+    pose = tilted_pose()
+    depth = sphere_depth(cfg, center=(-0.013, -0.021, 0.9), radius=0.3)
+
+    def run(window):
+        bv = make_brick_volume(cfg, brick_size=8, capacity=2048)
+        return integrate_bricks(bv, jnp.asarray(depth),
+                                jnp.asarray(pose, jnp.float32), None, 512,
+                                True, True, pallas_window=window)
+
+    bw = run(True)
+    bf = run(False)
+    assert not bool(bw.overflowed)
+    assert int(bw.n_active) == int(bf.n_active) > 50
+    np.testing.assert_array_equal(np.asarray(bw.weight), np.asarray(bf.weight))
+    np.testing.assert_array_equal(np.asarray(bw.nsample), np.asarray(bf.nsample))
+    np.testing.assert_allclose(np.asarray(bw.sdf), np.asarray(bf.sdf), atol=1e-6)
