@@ -578,9 +578,14 @@ def _compact_from_loc(mask2d, loc, budget: int):
     off = jnp.cumsum(cnt) - cnt                              # exclusive
     n = off[-1] + cnt[-1]
     r = jnp.arange(budget, dtype=jnp.int32)
-    blk = jnp.sum((off[None, :] <= r[:, None]).astype(jnp.int32), axis=1) - 1
+    le = off[None, :] <= r[:, None]                          # [budget, NB]
+    blk = jnp.sum(le.astype(jnp.int32), axis=1) - 1
     blk = jnp.maximum(blk, 0)
-    rp = r - jnp.take(off, blk)
+    # off[blk] gather-free: off is non-decreasing, so off[blk] is the max
+    # off_k satisfying off_k <= r (one more reduce over the compare matrix
+    # instead of a budget-sized element gather)
+    off_r = jnp.max(jnp.where(le, off[None, :], 0), axis=1)
+    rp = r - off_r
     lv = jnp.take(loc.reshape(-1), blk * V + jnp.minimum(rp, V - 1))
     ids = jnp.where((r < n) & (rp < V) & (lv >= 0), blk * V + lv, -1)
     return ids, n
