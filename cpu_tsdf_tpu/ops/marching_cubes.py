@@ -386,10 +386,16 @@ def extract_mesh(vol: TSDFVolume, min_weight: float = DEFAULT_MIN_WEIGHT,
 
     Returns (vertices [N*3, 3], faces [N, 3], colors [N*3, 3] | None).
     """
-    from ..bricks import BrickVolume
+    from ..bricks import BrickVolume, from_dense
 
     if isinstance(vol, BrickVolume):
         return extract_mesh_bricks(vol, min_weight, color_by_rgb, color_by_confidence)
+    if {d.platform for d in vol.sdf.devices()} - {"cpu"}:
+        # on accelerators, dense volumes extract through the brick kernel
+        # path (halo-roll corners + pack-left compaction); the dense path's
+        # full-grid scatter compaction is ~4.6 ns/element — 0.6 s at 512^3
+        return extract_mesh_bricks(from_dense(vol, 8), min_weight,
+                                   color_by_rgb, color_by_confidence)
     if max_cubes is None:
         n = count_active_cubes(vol, min_weight)
         max_cubes = max(1024, 1 << int(np.ceil(np.log2(max(n, 1)))))
