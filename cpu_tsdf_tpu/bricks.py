@@ -264,12 +264,13 @@ def _jitter_split_bricks(cfg, nb, depth, pose, bids, update_budget, key):
 
 @partial(jax.jit, static_argnums=(4, 5, 6),
          static_argnames=("update_budget", "use_pallas", "pallas_interpret",
-                          "pallas_window"),
+                          "pallas_window", "pallas_band"),
          donate_argnums=(0,))
 def integrate_bricks(vol: BrickVolume, depth, pose, rgb=None,
                      update_budget: int = 1 << 13, use_pallas: bool = False,
                      pallas_interpret: bool = False,
-                     split_key=None, pallas_window: bool = None) -> BrickVolume:
+                     split_key=None, pallas_window: bool = None,
+                     pallas_band: int = None) -> BrickVolume:
     """Fuse one depth frame into the brick volume.
 
     update_budget bounds the number of bricks updated per frame (band bricks
@@ -312,7 +313,8 @@ def integrate_bricks(vol: BrickVolume, depth, pose, rgb=None,
     new_sdf, new_w, new_M, new_n, new_color = fuse_brick_batch(
         cfg, B, bx, by, bz, slot_ok, slots,
         vol.sdf, vol.weight, vol.M, vol.nsample, vol.color,
-        depth, pose_inv, rgb, use_pallas, pallas_interpret, pallas_window)
+        depth, pose_inv, rgb, use_pallas, pallas_interpret, pallas_window,
+        pallas_band)
     return dataclasses.replace(
         vol, sdf=new_sdf, weight=new_w, M=new_M, nsample=new_n,
         color=new_color, overflowed=vol.overflowed | overflow)
@@ -322,7 +324,7 @@ def fuse_brick_batch(cfg: TSDFConfig, B: int, bx, by, bz, slot_ok, slots,
                      sdf, weight, M, nsample, color, depth, pose_inv,
                      rgb=None, use_pallas: bool = False,
                      pallas_interpret: bool = False,
-                     pallas_window: bool = None):
+                     pallas_window: bool = None, pallas_band: int = None):
     """Fuse one frame's budgeted brick batch into [C, B, B, B] SoA arrays.
 
     The shared per-batch update behind both the single-device volume
@@ -399,10 +401,11 @@ def fuse_brick_batch(cfg: TSDFConfig, B: int, bx, by, bz, slot_ok, slots,
         # all the way down, so callers/tests never hit a stale cache
         window = (pf.USE_DEPTH_WINDOW if pallas_window is None
                   else pallas_window)
+        band = pf.resolve_band(pallas_band)
         K = bx.shape[0]
         V = B * B * B
         meta, kernel_ok = brick_meta(cfg, B, bx, by, bz, slot_ok, pose_inv,
-                                     window)
+                                     window, band)
         # slot column: inactive/oversize bricks write to the reserved dump row
         # C-1 (never allocated — see _allocate), reading/writing it unchanged
         kern_slot = jnp.where(slot_ok & kernel_ok, slots, C - 1).astype(jnp.int32)
@@ -447,7 +450,7 @@ def fuse_brick_batch(cfg: TSDFConfig, B: int, bx, by, bz, slot_ok, slots,
             M.reshape(C, V), nsample.reshape(C, V),
             pallas_interpret, depth=depth_c,
             rgb_packed=pack_rgb(rgb) if color_active else None,
-            window=window)
+            window=window, band=band)
         d1f, w1f, M1f, n1f = out[:4]
         shape4 = (C, B, B, B)
         new_sdf = d1f.reshape(shape4)

@@ -57,6 +57,14 @@ DEPTH_WINDOW_COLS = 256
 # this at call time, so tests can monkeypatch it — the flag is a static jit
 # arg, never baked into a cached executable under a stale value).
 USE_DEPTH_WINDOW = os.environ.get("TSDF_FUSE_WINDOW", "0") == "1"
+# Narrow row band: shrinks the one-hot matmul's OUTPUT rows (and the VPU
+# row-mask reduce) from 128 to 64. Same fits-gating pattern as the column
+# window — bricks whose footprint exceeds the band fall back to XLA (at the
+# default working points a brick's footprint is ~25 rows, so fallback only
+# engages very close to the camera). TSDF_FUSE_BAND64=1 enables pending the
+# hardware measurement; 64 stays a multiple of the f32 sublane tile (8).
+DEPTH_BAND_NARROW = 64
+USE_NARROW_BAND = os.environ.get("TSDF_FUSE_BAND64", "0") == "1"
 NAN_SENTINEL = 1e9
 
 
@@ -109,11 +117,20 @@ def _window_active(cfg: TSDFConfig, window: bool) -> bool:
     return bool(window) and _padded_width(cfg) > DEPTH_WINDOW_COLS
 
 
+def resolve_band(pallas_band) -> int:
+    """None -> the module/env default band height (read at call time, same
+    monkeypatch-safe pattern as USE_DEPTH_WINDOW); an int passes through."""
+    if pallas_band is None:
+        return DEPTH_BAND_NARROW if USE_NARROW_BAND else BAND_ROWS
+    return int(pallas_band)
+
+
 def brick_meta(cfg: TSDFConfig, B: int, bx, by, bz, slot_ok, pose_inv,
-               window: bool = False):
+               window: bool = False, band: int = BAND_ROWS):
     """Per-brick kernel metadata: voxel base coords, depth band row origin,
     the footprint-fits flag, and (with `window`) the depth column-window
-    index. Pure elementwise JAX.
+    index. Pure elementwise JAX. `band` is the kernel's depth-band height
+    (rows); footprints taller than it are flagged for the XLA fallback.
 
     Corner projections bound every interior voxel's pixel coordinate:
     u = (fx·px + cx·pz)/pz is linear-fractional in the voxel position, so
@@ -150,8 +167,8 @@ def brick_meta(cfg: TSDFConfig, B: int, bx, by, bz, slot_ok, pose_inv,
     # the kernel (their voxels simply fail proj_ok).
     # band start is aligned DOWN to a multiple of 8 (Mosaic sublane tiling),
     # so the usable band shrinks by up to 7 rows
-    fits = (rows_needed < BAND_ROWS - 10) & (zmin > 0)
-    v0 = jnp.clip(jnp.floor(vmin).astype(jnp.int32) - 1, 0, max(H - BAND_ROWS, 0))
+    fits = (rows_needed < band - 10) & (zmin > 0)
+    v0 = jnp.clip(jnp.floor(vmin).astype(jnp.int32) - 1, 0, max(H - band, 0))
     v0 = (v0 // 8) * 8
     wi = jnp.zeros_like(base_x)
     if _window_active(cfg, window):
@@ -176,7 +193,7 @@ MAX_BRICKS_PER_CALL = 1024
 
 
 def _kernel_inplace(cfg: TSDFConfig, B: int, W: int, n_coarse: int,
-                    want_color: bool, window: bool,
+                    want_color: bool, window: bool, band: int,
                     meta_ref, pose_ref, depth_ref, *refs):
     """One grid step = one brick at block [1, 4, V/4]; slot-indexed blocks.
 
@@ -253,23 +270,23 @@ def _kernel_inplace(cfg: TSDFConfig, B: int, W: int, n_coarse: int,
         ubase = meta_ref[k, 6] * 128
         u0 = pl.multiple_of(ubase, 128)
         WB = DEPTH_WINDOW_COLS
-        band = depth_ref[pl.ds(v0, BAND_ROWS), pl.ds(u0, WB)]  # [BAND, WB]
-        band_rgb = (rgb_ref[pl.ds(v0, BAND_ROWS), pl.ds(u0, WB)]
+        dband = depth_ref[pl.ds(v0, band), pl.ds(u0, WB)]      # [band, WB]
+        band_rgb = (rgb_ref[pl.ds(v0, band), pl.ds(u0, WB)]
                     if want_color else None)
     else:
         ubase = 0
         WB = W
-        band = depth_ref[pl.ds(v0, BAND_ROWS), :]              # [BAND, W]
-        band_rgb = rgb_ref[pl.ds(v0, BAND_ROWS), :] if want_color else None
+        dband = depth_ref[pl.ds(v0, band), :]                  # [band, W]
+        band_rgb = rgb_ref[pl.ds(v0, band), :] if want_color else None
     z_chunks = []
     p_chunks = []
     for c in range(S):
         u_c = u[c:c + 1, :] - ubase                            # [1, L]
         col_iota = jax.lax.broadcasted_iota(jnp.int32, (WB, L), 0)
         onehot = (col_iota == jnp.clip(u_c, 0, WB - 1)).astype(f32)  # [WB, L]
-        m1 = jnp.dot(band, onehot, preferred_element_type=f32)       # [BAND, L]
-        vrel = jnp.clip(v[c:c + 1, :] - v0, 0, BAND_ROWS - 1)
-        row_iota = jax.lax.broadcasted_iota(jnp.int32, (BAND_ROWS, L), 0)
+        m1 = jnp.dot(dband, onehot, preferred_element_type=f32)      # [band, L]
+        vrel = jnp.clip(v[c:c + 1, :] - v0, 0, band - 1)
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (band, L), 0)
         row_mask = (row_iota == vrel).astype(f32)
         z_chunks.append(jnp.sum(m1 * row_mask, axis=0, keepdims=True))
         if want_color:
@@ -318,11 +335,12 @@ def _kernel_inplace(cfg: TSDFConfig, B: int, W: int, n_coarse: int,
 
 
 @partial(jax.jit, static_argnums=(0, 1, 8),
-         static_argnames=("interpret", "window"),
+         static_argnames=("interpret", "window", "band"),
          donate_argnums=(4, 5, 6, 7))
 def fuse_bricks_inplace(cfg: TSDFConfig, B: int, meta, pose_inv_flat, sdf,
                         weight, M, nsample, interpret: bool = False, depth=None,
-                        rgb_packed=None, window: bool = False):
+                        rgb_packed=None, window: bool = False,
+                        band: int = BAND_ROWS):
     """In-place brick fusion over the FULL volume arrays.
 
     meta: [K, 8] int32 (base_x/y/z, v0/8, ok, slot, 0, 0) — slot indexes the
@@ -343,7 +361,7 @@ def fuse_bricks_inplace(cfg: TSDFConfig, B: int, meta, pose_inv_flat, sdf,
     n_coarse = 1 << cfg.num_coarse_levels
     want_color = rgb_packed is not None
     kern = partial(_kernel_inplace, cfg, B, W, n_coarse, want_color,
-                   _window_active(cfg, window))
+                   _window_active(cfg, window), band)
 
     def run_chunk(meta_c, arrays):
         sdf_, w_, M_, n_ = arrays

@@ -112,3 +112,73 @@ def test_pallas_window_matches_full_band(small_cfg):
     np.testing.assert_array_equal(np.asarray(bw.weight), np.asarray(bf.weight))
     np.testing.assert_array_equal(np.asarray(bw.nsample), np.asarray(bf.nsample))
     np.testing.assert_allclose(np.asarray(bw.sdf), np.asarray(bf.sdf), atol=1e-6)
+
+
+@pytest.mark.parametrize("window", [False, True])
+def test_pallas_narrow_band_matches_full(small_cfg, window):
+    """The 64-row depth band (DEPTH_BAND_NARROW) must fuse identically to the
+    128-row band — fitting bricks see the same pixels, taller footprints take
+    the XLA fallback, which is bit-identical by the existing parity tests.
+    Runs both with and without the column window (the combined configuration
+    is the hardware candidate)."""
+    cfg = small_cfg.with_updates(
+        image_width=640, image_height=480, focal_length_x=525.0,
+        focal_length_y=525.0, principal_point_x=319.5, principal_point_y=239.5)
+    pose = tilted_pose()
+    depth = sphere_depth(cfg, center=(-0.013, -0.021, 0.9), radius=0.3)
+
+    def run(band):
+        bv = make_brick_volume(cfg, brick_size=8, capacity=2048)
+        return integrate_bricks(bv, jnp.asarray(depth),
+                                jnp.asarray(pose, jnp.float32), None, 512,
+                                True, True, pallas_window=window,
+                                pallas_band=band)
+
+    bn = run(64)
+    bf = run(128)
+    assert not bool(bn.overflowed)
+    assert int(bn.n_active) == int(bf.n_active) > 50
+    np.testing.assert_array_equal(np.asarray(bn.weight), np.asarray(bf.weight))
+    np.testing.assert_array_equal(np.asarray(bn.nsample), np.asarray(bf.nsample))
+    np.testing.assert_allclose(np.asarray(bn.sdf), np.asarray(bf.sdf), atol=1e-6)
+
+
+def test_pallas_narrow_band_tall_footprint_fallback(small_cfg):
+    """At a distance where brick footprints straddle the 64-row fits
+    threshold, band=64 must route the tall bricks through the XLA fallback
+    and still match the pure-XLA result bit-for-bit on weights."""
+    from cpu_tsdf_tpu.geometry import rigid_inverse
+    from cpu_tsdf_tpu.ops.pallas_fusion import brick_meta
+
+    cfg = small_cfg.with_updates(
+        image_width=640, image_height=480, focal_length_x=525.0,
+        focal_length_y=525.0, principal_point_x=319.5, principal_point_y=239.5)
+    # 20 cm bricks at ~2 m project to ~50-60 rows: some fit a 64-row band,
+    # some exceed it (all fit 128)
+    pose = tilted_pose(tz=-2.0)
+    depth = sphere_depth(cfg, center=(-0.013, -0.021, 2.0), radius=0.3)
+
+    def run(use_pallas, band=None):
+        bv = make_brick_volume(cfg, brick_size=8, capacity=2048)
+        return integrate_bricks(bv, jnp.asarray(depth),
+                                jnp.asarray(pose, jnp.float32), None, 512,
+                                use_pallas, use_pallas, pallas_band=band)
+
+    bn = run(True, band=64)
+    bx = run(False)
+    assert int(bn.n_active) > 10
+    np.testing.assert_array_equal(np.asarray(bn.weight), np.asarray(bx.weight))
+    np.testing.assert_allclose(np.asarray(bn.sdf), np.asarray(bx.sdf), atol=1e-5)
+
+    # prove the scene genuinely mixes fitting and falling-back bricks
+    n = int(bn.n_active)
+    coords = jnp.asarray(np.asarray(bn.coords)[:n])
+    ok_all = jnp.ones((n,), bool)
+    pinv = rigid_inverse(jnp.asarray(pose, jnp.float32))
+    _, ok64 = brick_meta(cfg, 8, coords[:, 0], coords[:, 1], coords[:, 2],
+                         ok_all, pinv, False, 64)
+    _, ok128 = brick_meta(cfg, 8, coords[:, 0], coords[:, 1], coords[:, 2],
+                          ok_all, pinv, False, 128)
+    n64, n128 = int(ok64.sum()), int(ok128.sum())
+    assert 0 < n64 < n, (n64, n)
+    assert n128 > n64
