@@ -197,14 +197,20 @@ def integrate_bricks_sharded(bv: BrickVolume, depth, pose, mesh: Mesh,
 
     ``update_budget`` is the GLOBAL band budget; each device's stages
     (candidate list, allocation, fuse) are sized to ``budget_per_device``
-    (default ``2 * update_budget / D``, i.e. 2x slack over a uniform split —
-    sizing every device at the full global budget made total work D x global,
-    the round-2 sharded-integrate overhead). A slab denser than the local
-    budget raises ``overflowed``, never drops silently."""
+    (default: slack x ``update_budget / D`` — sizing every device at the
+    full global budget made total work D x global, the round-2
+    sharded-integrate overhead). The slack over a uniform split is 2x at
+    D >= 4 (a small slab can hold the frustum's whole near field) and 1.5x
+    at D < 4, where each slab covers so much of the frustum that relative
+    imbalance is bounded — at D = 2 the 2x slack degenerated to the global
+    budget, making per-device work equal to single-device work. A slab
+    denser than the local budget raises ``overflowed``, never drops
+    silently."""
     D = mesh.devices.size
     if budget_per_device is None:
+        num, den = (2, 1) if D >= 4 else (3, 2)
         budget_per_device = min(update_budget,
-                                max(256, -(-2 * update_budget // (128 * D)) * 128))
+                                max(256, -(-num * update_budget // (den * 128 * D)) * 128))
     return _integrate_sharded_jit(bv, jnp.asarray(depth),
                                   None if rgb is None else jnp.asarray(rgb),
                                   jnp.asarray(pose, jnp.float32),
