@@ -187,3 +187,61 @@ def test_compact_from_loc_matches_scatter_compact():
                                   budget)
         assert int(n) == int(ref_n)
         np.testing.assert_array_equal(np.asarray(ids), np.asarray(ref_ids))
+
+
+def test_room_scene_brick_extraction_accuracy(small_cfg):
+    """Structured-indoor-geometry extraction (ICL-NUIM-class): a camera walk
+    through a box room with obstacles, fused into the BRICK volume and
+    extracted brick-natively. Flat walls, corners and occlusion boundaries
+    produce degenerate MC cases (whole faces in one truncation band) that the
+    sphere fixtures never hit; every emitted vertex must lie on the analytic
+    scene surface to within 1.5 voxels."""
+    from test_ref_extract import _room_depth
+
+    from cpu_tsdf_tpu import TSDFConfig
+    from cpu_tsdf_tpu.bricks import integrate_bricks, make_brick_volume
+    from cpu_tsdf_tpu.ops.marching_cubes import extract_mesh_bricks
+
+    W, H, FX = 160, 120, 140.0
+    cfg = TSDFConfig(
+        xres=128, yres=128, zres=128,
+        xsize=1.6, ysize=1.6, zsize=1.6,
+        max_dist_pos=0.05, max_dist_neg=0.05,
+        min_sensor_dist=0.1, max_sensor_dist=3.0,
+        image_width=W, image_height=H,
+        focal_length_x=FX, focal_length_y=FX,
+        principal_point_x=(W - 1) / 2.0, principal_point_y=(H - 1) / 2.0,
+        max_cell_size_x=0.4, max_cell_size_y=0.4, max_cell_size_z=0.4,
+    )
+    rng = np.random.RandomState(5)
+    bv = make_brick_volume(cfg, 8, 1 << 12)
+    for i in range(6):
+        yaw = -0.5 + 0.2 * i
+        c, s = np.cos(yaw), np.sin(yaw)
+        pose = np.eye(4)
+        pose[:3, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        pose[:3, 3] = (-0.3 + 0.12 * i, -0.1, -0.35)
+        depth = _room_depth(pose, W, H, FX, FX, cfg.principal_point_x,
+                            cfg.principal_point_y, rng=rng)
+        bv = integrate_bricks(bv, jnp.asarray(depth),
+                              jnp.asarray(pose, jnp.float32), None, 1 << 12)
+    assert not bool(bv.overflowed)
+    assert int(bv.n_active) > 800
+
+    verts, faces, _ = extract_mesh_bricks(bv)
+    assert len(faces) > 5_000, len(faces)
+
+    def box_sdf(p, lo, hi):
+        q = np.maximum(np.asarray(lo) - p, p - np.asarray(hi))
+        outside = np.linalg.norm(np.maximum(q, 0.0), axis=-1)
+        inside = np.minimum(np.max(q, axis=-1), 0.0)
+        return outside + inside
+
+    dist = np.minimum.reduce([
+        np.abs(box_sdf(verts, [-0.7, -0.7, -0.7], [0.7, 0.7, 0.7])),
+        np.abs(box_sdf(verts, [0.1, 0.15, 0.2], [0.45, 0.7, 0.55])),
+        np.abs(box_sdf(verts, [-0.55, -0.05, -0.1], [-0.15, 0.05, 0.35])),
+    ])
+    voxel = cfg.xsize / cfg.xres
+    frac = (dist < 1.5 * voxel).mean()
+    assert frac > 0.97, (frac, np.percentile(dist, 99) / voxel)

@@ -406,6 +406,100 @@ def test_256cubed_noisy_trajectory_matches_compiled_reference(have_ref):
         assert (np.abs(got - theirs.astype(np.float32)[same]) <= 1.0).mean() > 0.99
 
 
+def _room_depth(pose, W, H, fx, fy, cx, cy, rng=None):
+    """Analytic depth of an ICL-NUIM-style room interior: the camera stands
+    INSIDE an axis-aligned box room (walls/floor/ceiling = the box exit
+    faces) containing two box obstacles. Optional sensor noise via rng."""
+    uu, vv = np.meshgrid(np.arange(W), np.arange(H))
+    dirs = np.stack([(uu - cx) / fx, (vv - cy) / fy,
+                     np.ones_like(uu, float)], -1)
+    d_w = dirs @ pose[:3, :3].T
+    o = pose[:3, 3]
+
+    def box_exit(lo, hi):
+        # camera inside: the hit is where the ray EXITS the box
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t1 = (lo - o) / d_w
+            t2 = (hi - o) / d_w
+        tmax = np.minimum.reduce(list(np.maximum(t1, t2).transpose(2, 0, 1)))
+        return np.where(tmax > 0, tmax, np.inf)
+
+    def box_enter(lo, hi):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t1 = (lo - o) / d_w
+            t2 = (hi - o) / d_w
+        tmin = np.maximum.reduce(list(np.minimum(t1, t2).transpose(2, 0, 1)))
+        tmax = np.minimum.reduce(list(np.maximum(t1, t2).transpose(2, 0, 1)))
+        hit = (tmin <= tmax) & (tmin > 0)
+        return np.where(hit, tmin, np.inf)
+
+    t = box_exit(np.array([-0.7, -0.7, -0.7]), np.array([0.7, 0.7, 0.7]))
+    # a "crate" on the floor and a thin "table top" slab
+    t = np.minimum(t, box_enter(np.array([0.1, 0.15, 0.2]),
+                                np.array([0.45, 0.7, 0.55])))
+    t = np.minimum(t, box_enter(np.array([-0.55, -0.05, -0.1]),
+                                np.array([-0.15, 0.05, 0.35])))
+    z = np.where(np.isfinite(t), t * dirs[..., 2], np.nan)
+    if rng is not None:
+        z = z + rng.normal(0.0, 0.002, z.shape)
+        z = np.where(rng.uniform(size=z.shape) < 0.03, np.nan, z)
+    return z.astype(np.float32)
+
+
+@pytest.mark.slow
+def test_room_walkthrough_matches_compiled_reference(have_ref):
+    """ICL-NUIM-class golden: a camera translating THROUGH a room (large
+    translations — the orbit goldens keep the camera at constant radius)
+    with walls at grazing incidence, box obstacles, occlusion boundaries,
+    sensor noise and dropouts, fused at 256^3 and diffed against the genuine
+    compiled reference octree (octree.cpp, impl/tsdf_volume_octree.hpp:
+    113-218). Every wall of the room enters the truncation band at some
+    frame, so this exercises fusion over the whole volume, not a band
+    around one object."""
+    from cpu_tsdf_tpu import TSDFConfig
+
+    W, H, FX = 160, 120, 140.0
+    cfg = TSDFConfig(
+        xres=256, yres=256, zres=256,
+        xsize=1.6, ysize=1.6, zsize=1.6,
+        max_dist_pos=0.03, max_dist_neg=0.03,
+        min_sensor_dist=0.1, max_sensor_dist=3.0,
+        image_width=W, image_height=H,
+        focal_length_x=FX, focal_length_y=FX,
+        principal_point_x=(W - 1) / 2.0, principal_point_y=(H - 1) / 2.0,
+        max_cell_size_x=0.4, max_cell_size_y=0.4, max_cell_size_z=0.4,
+        frustum_culling=False,
+    )
+    rng = np.random.RandomState(13)
+    frames = []
+    for i in range(6):
+        # walk across the room on x while yawing: consecutive cameras are
+        # 12 cm apart (~19 voxels), looking toward the +z wall then panning
+        yaw = -0.5 + 0.2 * i
+        c, s = np.cos(yaw), np.sin(yaw)
+        pose = np.eye(4)
+        pose[:3, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        pose[:3, 3] = (-0.3 + 0.12 * i, -0.1, -0.35)
+        depth = _room_depth(pose, W, H, FX, FX, cfg.principal_point_x,
+                            cfg.principal_point_y, rng=rng)
+        frames.append((pose, depth))
+
+    ref = _run_reference(cfg, frames)
+    vol = make_volume(cfg)
+    for pose, depth in frames:
+        vol = integrate(vol, jnp.asarray(depth), jnp.asarray(pose, jnp.float32))
+
+    ix, iy, iz = ref["idx"]
+    rec = ref["rec"]
+    assert len(rec) > 100_000, len(rec)
+    same = np.asarray(vol.nsample)[ix, iy, iz] == rec["ns"]
+    assert same.sum() > 60_000, same.sum()
+    np.testing.assert_allclose(np.asarray(vol.sdf)[ix, iy, iz][same],
+                               rec["d"][same], atol=5e-5)
+    np.testing.assert_allclose(np.asarray(vol.weight)[ix, iy, iz][same],
+                               rec["w"][same], atol=5e-5)
+
+
 @pytest.mark.slow
 def test_multi_object_scene_matches_compiled_reference(have_ref, small_cfg):
     """Non-sphere geometry golden: a tilted plane behind a sphere (grazing
