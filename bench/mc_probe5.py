@@ -85,7 +85,7 @@ def main():
         i2 = jnp.maximum(idx2, 0)
         s = jnp.take(bsafe, i2 // V)
         idxs = s * V + i2 % V
-        vals = jnp.take(dstack.reshape(8, K * V), idxs, axis=1).T
+        vals = jnp.take(dstack, idxs, axis=0)  # dstack is [K*V, 8], corners last
         return jnp.sum(vals)
 
     @jax.jit
@@ -102,7 +102,7 @@ def main():
         s = jnp.take(bsafe, i2 // V)
         within = i2 % V
         idxs = s * V + within
-        vals = jnp.take(dstack.reshape(8, K * V), idxs, axis=1).T * cfg.max_dist_neg
+        vals = jnp.take(dstack, idxs, axis=0) * cfg.max_dist_neg
         cs = jnp.take(coords, s, axis=0)
         lx, ly, lz = within // (B * B), (within // B) % B, within % B
         soup = _emit_soup(cfg, bv.global_transform, cs[:, 0] * B + lx,

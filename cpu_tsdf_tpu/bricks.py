@@ -262,10 +262,6 @@ def _jitter_split_bricks(cfg, nb, depth, pose, bids, update_budget, key):
     return bids, n_band, n_band > update_budget
 
 
-@partial(jax.jit, static_argnums=(4, 5, 6),
-         static_argnames=("update_budget", "use_pallas", "pallas_interpret",
-                          "pallas_window", "pallas_band"),
-         donate_argnums=(0,))
 def integrate_bricks(vol: BrickVolume, depth, pose, rgb=None,
                      update_budget: int = 1 << 13, use_pallas: bool = False,
                      pallas_interpret: bool = False,
@@ -282,7 +278,29 @@ def integrate_bricks(vol: BrickVolume, depth, pose, rgb=None,
     RGBNormalized/LAB, octree.cpp:328-434 — runs in XLA on those K rows).
     Bricks the kernel cannot handle (footprint taller than its depth band)
     fall back to the XLA path.
+
+    This wrapper stays OUTSIDE jit so pallas_window/pallas_band defaults
+    (None -> the USE_DEPTH_WINDOW / USE_NARROW_BAND module flags) resolve at
+    every call: the jitted core only ever sees concrete values in its static
+    cache key, so flipping a module flag or env default between calls can
+    never silently reuse a stale executable — and positionally-passed flags
+    are plain Python here, never tracers.
     """
+    from .ops import pallas_fusion as pf
+
+    window = (pf.USE_DEPTH_WINDOW if pallas_window is None
+              else bool(pallas_window))
+    band = pf.resolve_band(pallas_band)
+    return _integrate_bricks_jit(vol, depth, pose, rgb, split_key,
+                                 int(update_budget), bool(use_pallas),
+                                 bool(pallas_interpret), window, band)
+
+
+@partial(jax.jit, static_argnums=(5, 6, 7, 8, 9), donate_argnums=(0,))
+def _integrate_bricks_jit(vol: BrickVolume, depth, pose, rgb, split_key,
+                          update_budget: int, use_pallas: bool,
+                          pallas_interpret: bool, pallas_window: bool,
+                          pallas_band: int) -> BrickVolume:
     from .activation import band_candidate_bricks, depth_mips
 
     cfg = vol.config
@@ -397,8 +415,10 @@ def fuse_brick_batch(cfg: TSDFConfig, B: int, bx, by, bz, slot_ok, slots,
         from .ops.pallas_fusion import (brick_meta, fuse_bricks_inplace,
                                         pack_rgb, pad_depth, unpack_rgb)
 
-        # None -> the module/env default; explicit bool is a static jit arg
-        # all the way down, so callers/tests never hit a stale cache
+        # None -> the module/env default. NOTE: jitted callers must resolve
+        # the defaults BEFORE their jit boundary and pass concrete values
+        # (as integrate_bricks does) — resolving here under an outer jit
+        # whose cache key says None would freeze the flag at trace time.
         window = (pf.USE_DEPTH_WINDOW if pallas_window is None
                   else pallas_window)
         band = pf.resolve_band(pallas_band)
@@ -559,7 +579,11 @@ def from_dense(vol: TSDFVolume, brick_size: int = 8,
     obs = (vol.weight > 0).reshape(nbx, B, nby, B, nbz, B).any((1, 3, 5))
     n_obs = int(jnp.sum(obs))
     if capacity is None:
-        capacity = max(1024, 1 << int(np.ceil(np.log2(max(n_obs, 1)))))
+        # n_obs + 1: _allocate reserves the last row as the write-off dump,
+        # so usable slots are capacity-1 — sizing to pow2(n_obs) exactly
+        # dropped one brick (with overflowed set) whenever the observed
+        # count was itself a power of two
+        capacity = max(1024, 1 << int(np.ceil(np.log2(n_obs + 1))))
     bv = make_brick_volume(cfg, B, capacity, dtype=vol.sdf.dtype)
     bv = _allocate(bv, obs)
 

@@ -331,14 +331,7 @@ def _emit_soup(cfg, global_transform, ci, cj, ck, vals, cube_ok, center_rgb,
     N = vals.shape[0]
     M = MAX_TRIS_PER_CUBE
     if N <= (1 << 17):
-        table = np.concatenate([TRI_TABLE.astype(np.float32),
-                                TRI_COUNT[:, None].astype(np.float32)], 1)
-        onehot = (cubeindex[:, None] == jnp.arange(256, dtype=jnp.int32)[None, :]
-                  ).astype(jnp.float32)
-        rows = jnp.dot(onehot, jnp.asarray(table),
-                       preferred_element_type=jnp.float32)
-        entries = rows[:, :3 * M].astype(jnp.int32)
-        ntris = jnp.where(cube_ok, rows[:, 3 * M].astype(jnp.int32), 0)
+        entries, ntris = _table_rows_onehot(cubeindex, cube_ok)
     else:
         tri_tab = jnp.asarray(TRI_TABLE.astype(np.int32))   # [256, 3*MAX]
         tri_cnt = jnp.asarray(TRI_COUNT)                    # [256]
@@ -385,17 +378,26 @@ def extract_mesh(vol: TSDFVolume, min_weight: float = DEFAULT_MIN_WEIGHT,
     """Convenience host-level extraction with automatic budget sizing.
 
     Returns (vertices [N*3, 3], faces [N, 3], colors [N*3, 3] | None).
+
+    max_cubes: on the dense CPU path, the exact cube budget (overflow
+    raises). On the brick routes it seeds the per-chunk budget — overflow
+    there re-runs with doubled budgets, so it only affects performance.
     """
     from ..bricks import BrickVolume, from_dense
 
+    bargs = {} if max_cubes is None else {"cube_budget": int(max_cubes)}
     if isinstance(vol, BrickVolume):
-        return extract_mesh_bricks(vol, min_weight, color_by_rgb, color_by_confidence)
+        return extract_mesh_bricks(vol, min_weight, color_by_rgb,
+                                   color_by_confidence, **bargs)
     if {d.platform for d in vol.sdf.devices()} - {"cpu"}:
         # on accelerators, dense volumes extract through the brick kernel
         # path (halo-roll corners + pack-left compaction); the dense path's
         # full-grid scatter compaction is ~4.6 ns/element — 0.6 s at 512^3
-        return extract_mesh_bricks(from_dense(vol, 8), min_weight,
-                                   color_by_rgb, color_by_confidence)
+        bv = from_dense(vol, 8)
+        if bool(bv.overflowed):  # cannot happen with auto-sized capacity
+            raise RuntimeError("from_dense overflowed its brick capacity")
+        return extract_mesh_bricks(bv, min_weight, color_by_rgb,
+                                   color_by_confidence, **bargs)
     if max_cubes is None:
         n = count_active_cubes(vol, min_weight)
         max_cubes = max(1024, 1 << int(np.ceil(np.log2(max(n, 1)))))

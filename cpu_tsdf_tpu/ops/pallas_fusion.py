@@ -111,6 +111,11 @@ def _padded_width(cfg: TSDFConfig) -> int:
     return int(-(-cfg.image_width // 128) * 128)
 
 
+def _padded_height(cfg: TSDFConfig) -> int:
+    # must mirror pad_depth/pack_rgb row padding
+    return max(BAND_ROWS, int(-(-cfg.image_height // 8) * 8))
+
+
 def _window_active(cfg: TSDFConfig, window: bool) -> bool:
     """Column windowing pays off only when the padded image is wider than
     the window itself (otherwise the full width IS the window)."""
@@ -160,7 +165,6 @@ def brick_meta(cfg: TSDFConfig, B: int, bx, by, bz, slot_ok, pose_inv,
                 umin = jnp.minimum(umin, uf)
                 umax = jnp.maximum(umax, uf)
                 zmin = jnp.minimum(zmin, pz)
-    H = cfg.image_height
     rows_needed = vmax - jnp.maximum(vmin, 0.0)
     # Bricks straddling the camera plane (zmin <= 0) or taller than the band
     # fall back to the XLA path; bricks fully behind/outside still run through
@@ -168,7 +172,14 @@ def brick_meta(cfg: TSDFConfig, B: int, bx, by, bz, slot_ok, pose_inv,
     # band start is aligned DOWN to a multiple of 8 (Mosaic sublane tiling),
     # so the usable band shrinks by up to 7 rows
     fits = (rows_needed < band - 10) & (zmin > 0)
-    v0 = jnp.clip(jnp.floor(vmin).astype(jnp.int32) - 1, 0, max(H - band, 0))
+    # clip against the PADDED height (pad rows hold the NaN sentinel, so a
+    # band overhanging the image bottom is safe): clipping against the raw H
+    # and then aligning down by 8 left rows [align8(H-band)+band, H)
+    # uncovered whenever H % 8 != 0, silently fusing depth from the wrong
+    # row for bricks at the image bottom. Hp and band are both multiples of
+    # 8, so the top clip survives the alignment exactly.
+    Hp = _padded_height(cfg)
+    v0 = jnp.clip(jnp.floor(vmin).astype(jnp.int32) - 1, 0, max(Hp - band, 0))
     v0 = (v0 // 8) * 8
     wi = jnp.zeros_like(base_x)
     if _window_active(cfg, window):

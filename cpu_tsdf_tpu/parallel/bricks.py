@@ -72,17 +72,17 @@ def make_sharded_brick_volume(cfg: TSDFConfig, mesh: Mesh, brick_size: int = 8,
     )
 
 
-@partial(jax.jit, static_argnums=(4, 5, 6, 7), donate_argnums=(0,))
+@partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9), donate_argnums=(0,))
 def _integrate_sharded_jit(bv: BrickVolume, depth, rgb, pose,
                            budget_local: int, mesh: Mesh, use_pallas: bool,
-                           pallas_interpret: bool) -> BrickVolume:
+                           pallas_interpret: bool, pallas_window: bool,
+                           pallas_band: int) -> BrickVolume:
     cfg = bv.config
     B = bv.brick_size
     D = mesh.devices.size
     C_local = bv.capacity // D
     nbx, nby, nbz = bv.bricks_per_axis
     nbx_local = nbx // D
-    update_budget = budget_local
     pose = jnp.asarray(pose, jnp.float32)
     pose_inv = rigid_inverse(pose)
     has_color = bv.color is not None and rgb is not None
@@ -109,7 +109,7 @@ def _integrate_sharded_jit(bv: BrickVolume, depth, rgb, pose,
         # is bit-equal to the global candidate list filtered to the slab ----
         mips = depth_mips(depth_r)
         cand, n_band, overflow = band_candidate_bricks(
-            cfg, B, (nbx, nby, nbz), mips, pose_inv_r, update_budget,
+            cfg, B, (nbx, nby, nbz), mips, pose_inv_r, budget_local,
             x_slab=(bx0, nbx_local))
         gok = cand >= 0
         gsafe = jnp.maximum(cand, 0)
@@ -147,7 +147,7 @@ def _integrate_sharded_jit(bv: BrickVolume, depth, rgb, pose,
         sdf_l, w_l, M_l, n_l, col_l = fuse_brick_batch(
             cfg, B, bx, by, bz, slot_ok, lslots,
             sdf_l, w_l, M_l, n_l, col_l, depth_r, pose_inv_r, rgb_r,
-            use_pallas, pallas_interpret)
+            use_pallas, pallas_interpret, pallas_window, pallas_band)
 
         ovf = ovf | (jax.lax.pmax(overflow.astype(jnp.int32), AXIS) > 0)
         res = (brick_map_l, n_act[None], coords_l, sdf_l, w_l, M_l, n_l)
@@ -187,7 +187,9 @@ def integrate_bricks_sharded(bv: BrickVolume, depth, pose, mesh: Mesh,
                              update_budget: int = 1 << 12, rgb=None,
                              use_pallas: bool = False,
                              pallas_interpret: bool = False,
-                             budget_per_device: int = None) -> BrickVolume:
+                             budget_per_device: int = None,
+                             pallas_window: bool = None,
+                             pallas_band: int = None) -> BrickVolume:
     """Fuse one frame into a slab-sharded brick volume (zero collectives).
 
     With use_pallas the per-voxel update runs in the Pallas fusion kernel
@@ -211,11 +213,18 @@ def integrate_bricks_sharded(bv: BrickVolume, depth, pose, mesh: Mesh,
         num, den = (2, 1) if D >= 4 else (3, 2)
         budget_per_device = min(update_budget,
                                 max(256, -(-num * update_budget // (den * 128 * D)) * 128))
+    # resolve the kernel-tuning defaults OUTSIDE the jit (same reason as
+    # integrate_bricks: the static cache key must carry concrete values, not
+    # a None frozen to whatever the module flag was at first trace)
+    from ..ops import pallas_fusion as pf
+
+    window = pf.USE_DEPTH_WINDOW if pallas_window is None else bool(pallas_window)
+    band = pf.resolve_band(pallas_band)
     return _integrate_sharded_jit(bv, jnp.asarray(depth),
                                   None if rgb is None else jnp.asarray(rgb),
                                   jnp.asarray(pose, jnp.float32),
                                   budget_per_device, mesh, use_pallas,
-                                  pallas_interpret)
+                                  pallas_interpret, window, band)
 
 
 def merge_sharded(bv: BrickVolume, device=None) -> BrickVolume:

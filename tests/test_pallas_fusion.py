@@ -182,3 +182,69 @@ def test_pallas_narrow_band_tall_footprint_fallback(small_cfg):
     n64, n128 = int(ok64.sum()), int(ok128.sum())
     assert 0 < n64 < n, (n64, n)
     assert n128 > n64
+
+
+@pytest.mark.parametrize("band", [64, 128])
+def test_pallas_band_covers_bottom_rows_odd_height(small_cfg, band):
+    """Regression: with image_height not a multiple of 8 (and > band), the
+    band origin used to be clipped against the RAW height and then aligned
+    down, leaving the last H % 8 image rows uncovered — bricks at the image
+    bottom fused depth from the wrong row. The origin now clips against the
+    padded height (pad rows hold the NaN sentinel, so overhang is safe)."""
+    cfg = small_cfg.with_updates(
+        image_width=256, image_height=130, focal_length_x=140.0,
+        focal_length_y=140.0, principal_point_x=127.5, principal_point_y=64.5)
+    pose = tilted_pose()
+    # sphere low in the image: its silhouette reaches the bottom rows
+    depth = sphere_depth(cfg, center=(-0.013, 0.27, 0.9), radius=0.3)
+    d = np.asarray(depth)
+    assert np.isfinite(d[125:130]).any(), "scene must cover the bottom rows"
+
+    def run(use_pallas):
+        bv = make_brick_volume(cfg, brick_size=8, capacity=2048)
+        return integrate_bricks(bv, jnp.asarray(depth),
+                                jnp.asarray(pose, jnp.float32), None, 512,
+                                use_pallas, use_pallas, pallas_band=band)
+
+    bp = run(True)
+    bx = run(False)
+    assert int(bp.n_active) > 20
+    np.testing.assert_array_equal(np.asarray(bp.weight), np.asarray(bx.weight))
+    np.testing.assert_allclose(np.asarray(bp.sdf), np.asarray(bx.sdf), atol=1e-5)
+
+
+def test_module_flag_flip_retraces(small_cfg, monkeypatch):
+    """Flipping USE_DEPTH_WINDOW / USE_NARROW_BAND between calls must reach
+    the jitted core as a different static cache key (the wrapper resolves
+    the module defaults at every call). Window/band variants fuse
+    identically by construction, so the observable is the trace count."""
+    from cpu_tsdf_tpu import bricks as bricks_mod
+    from cpu_tsdf_tpu.ops import pallas_fusion as pf
+
+    cfg = small_cfg.with_updates(
+        image_width=640, image_height=480, focal_length_x=525.0,
+        focal_length_y=525.0, principal_point_x=319.5, principal_point_y=239.5)
+    pose = jnp.asarray(tilted_pose(), jnp.float32)
+    depth = jnp.asarray(sphere_depth(cfg, center=(-0.013, -0.021, 0.9),
+                                     radius=0.3))
+
+    def run():
+        bv = make_brick_volume(cfg, brick_size=8, capacity=2048)
+        return integrate_bricks(bv, depth, pose, None, 512, True, True)
+
+    jit_core = bricks_mod._integrate_bricks_jit
+    monkeypatch.setattr(pf, "USE_DEPTH_WINDOW", False)
+    monkeypatch.setattr(pf, "USE_NARROW_BAND", False)
+    b0 = run()
+    n0 = jit_core._cache_size()
+    b1 = run()  # same flags: cache hit
+    assert jit_core._cache_size() == n0
+    monkeypatch.setattr(pf, "USE_DEPTH_WINDOW", True)
+    b2 = run()  # flipped flag: MUST retrace, not reuse the stale executable
+    assert jit_core._cache_size() == n0 + 1
+    monkeypatch.setattr(pf, "USE_NARROW_BAND", True)
+    b3 = run()
+    assert jit_core._cache_size() == n0 + 2
+    for b in (b1, b2, b3):
+        np.testing.assert_array_equal(np.asarray(b.weight),
+                                      np.asarray(b0.weight))
