@@ -342,9 +342,8 @@ def main():
 
             # full-res render at the 2048^3 working point (round-2 verdict:
             # the pack was capped at r_budget active bricks; now it grows)
-            rb = 4096
-            while bv2.capacity > rb and bool(jnp.any(bv2.coords[rb - 1:, 0] >= 0)):
-                rb *= 2
+            from cpu_tsdf_tpu.ops.pallas_raycast import grow_r_budget
+            rb = grow_r_budget(bv2, 4096)
             t0 = time.time()
             pack2 = make_render_pack(bv2, rb)
             res2, ovf2 = _render_pallas_jit(pack2, pose, 1, 65536, False, False)

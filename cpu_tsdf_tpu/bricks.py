@@ -356,6 +356,11 @@ def fuse_brick_batch(cfg: TSDFConfig, B: int, bx, by, bz, slot_ok, slots,
     from .ops import color as color_ops
     from .ops.fusion import compute_observation
 
+    if rgb is not None:
+        # trunc mirrors the reference's uint8 color observations and keeps
+        # the kernel path (pack_rgb truncates to pack 24 bits exactly) and
+        # the XLA fallback bit-identical for non-integer rgb input
+        rgb = jnp.trunc(jnp.asarray(rgb, jnp.float32))
     C = sdf.shape[0]
     slots = jnp.where(slot_ok, slots, C)  # C -> dump (mode="drop" skips)
 

@@ -183,17 +183,26 @@ def _integrate_impl(argv=None) -> int:
         # next_frame lives INSIDE the npz (crash-atomic with the arrays);
         # the sidecar json is a readable mirror and legacy fallback only
         meta = checkpoint_meta(ckpt_path)
+        cursor = None
         if "next_frame" in meta:
-            start_frame = int(meta["next_frame"])
+            cursor = int(meta["next_frame"])
         elif os.path.exists(state_path):
             with open(state_path) as f:
-                start_frame = int(_json.load(f)["next_frame"])
-        vol = load_any(ckpt_path)
-        if isinstance(vol, BrickVolume):
-            args.sparse = True
-            dev = jax.config.jax_default_device or jax.devices()[0]
-            use_pallas = dev.platform not in ("cpu",)
-        log.info(f"Resuming from {ckpt_path} at frame {start_frame + 1}")
+                cursor = int(_json.load(f)["next_frame"])
+        if cursor is None:
+            # a checkpoint volume with NO recoverable frame cursor (legacy
+            # writer crashed between npz and json): loading it and starting
+            # at frame 0 would fuse every frame a second time — start fresh
+            log.warning(f"{ckpt_path} has no frame cursor (and no "
+                        f"{state_path}); ignoring it and starting fresh")
+        else:
+            start_frame = cursor
+            vol = load_any(ckpt_path)
+            if isinstance(vol, BrickVolume):
+                args.sparse = True
+                dev = jax.config.jax_default_device or jax.devices()[0]
+                use_pallas = dev.platform not in ("cpu",)
+            log.info(f"Resuming from {ckpt_path} at frame {start_frame + 1}")
 
     def save_ckpt(next_frame):
         import json as _json

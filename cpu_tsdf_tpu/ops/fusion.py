@@ -158,6 +158,11 @@ def integrate(vol: TSDFVolume, depth: jnp.ndarray, pose: jnp.ndarray,
 
     new_color = vol.color
     if vol.color is not None and rgb is not None:
+        # trunc mirrors the reference's uint8 color observations
+        # (octree.cpp addObservation takes bytes) and keeps every engine —
+        # dense XLA, brick XLA, Pallas packed lookup — fusing identical
+        # values for non-integer rgb input
+        rgb = jnp.trunc(rgb.astype(jnp.float32))
         r = _gather_image(rgb[..., 0], v, u)
         g = _gather_image(rgb[..., 1], v, u)
         b = _gather_image(rgb[..., 2], v, u)

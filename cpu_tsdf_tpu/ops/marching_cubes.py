@@ -45,7 +45,10 @@ from .mc_tables import CORNER_OFFSETS, EDGE_CORNERS, MAX_TRIS_PER_CUBE, TRI_COUN
 DEFAULT_MIN_WEIGHT = 2.5
 
 
-@jax.tree_util.register_dataclass
+@partial(jax.tree_util.register_dataclass,
+         data_fields=("vertices", "colors", "tri_valid", "num_triangles",
+                      "overflowed"),
+         meta_fields=("live_chunks", "budget_hint"))
 @dataclasses.dataclass
 class MeshSoup:
     """Fixed-budget triangle soup. triangles[i] valid iff i < num_triangles."""
@@ -55,6 +58,11 @@ class MeshSoup:
     tri_valid: jnp.ndarray      # [budget*MAX_TRIS] bool
     num_triangles: jnp.ndarray  # scalar int32
     overflowed: jnp.ndarray     # scalar bool: cube budget exceeded
+    # brick-path reuse hints (extract_soup_bricks): declared STATIC pytree
+    # metadata so they survive jit/tree operations instead of silently
+    # vanishing as ad-hoc attributes; tuples, to stay hashable in cache keys
+    live_chunks: Optional[tuple] = None   # chunk start slots
+    budget_hint: Optional[tuple] = None   # per-chunk (cube, brick, tri)
 
     def to_numpy(self):
         """Compact to (V[N*3,3], F[N,3], C or None).
@@ -428,28 +436,44 @@ def extract_mesh(vol: TSDFVolume, min_weight: float = DEFAULT_MIN_WEIGHT,
 #   3. compacts crossing cubes to a budget and emits triangles only for them.
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3))
-def _brick_stats(bv, live_chunks: tuple, chunk_slots: int, min_weight: float):
+@partial(jax.jit, static_argnums=(2, 3))
+def _brick_stats_scan(bv, starts, chunk_slots: int, min_weight: float):
     """Per-brick (min, max) of d over VALID voxels (w >= min_weight, |d| < 1)
-    for every slot of the given live chunks; +inf/-inf where no valid voxel
-    or never computed. Index C (the neighbor-fill sentinel) stays +inf/-inf.
-    """
+    for every slot of the chunks at `starts` ([Nc] int32, TRACED); +inf/-inf
+    where no valid voxel or never computed. Index C (the neighbor-fill
+    sentinel) stays +inf/-inf. Duplicate starts are harmless (the update is
+    idempotent), which lets the caller pad to a pow2 length so a changing
+    live set reuses O(log) executables instead of recompiling per set."""
     B = bv.brick_size
     V = B * B * B
     C = bv.capacity
-    dmin = jnp.full((C + 1,), jnp.inf)
-    dmax = jnp.full((C + 1,), -jnp.inf)
-    for s0 in live_chunks:
-        d = jax.lax.dynamic_slice(bv.sdf, (s0, 0, 0, 0),
-                                  (chunk_slots, B, B, B)).reshape(-1, V)
-        w = jax.lax.dynamic_slice(bv.weight, (s0, 0, 0, 0),
-                                  (chunk_slots, B, B, B)).reshape(-1, V)
+    sdf2 = bv.sdf.reshape(C, V)
+    w2 = bv.weight.reshape(C, V)
+
+    def body(carry, s0):
+        dmin, dmax = carry
+        d = jax.lax.dynamic_slice(sdf2, (s0, 0), (chunk_slots, V))
+        w = jax.lax.dynamic_slice(w2, (s0, 0), (chunk_slots, V))
         valid = (w >= min_weight) & (jnp.abs(d) < 1.0)
         dmin = jax.lax.dynamic_update_slice(
             dmin, jnp.min(jnp.where(valid, d, jnp.inf), axis=1), (s0,))
         dmax = jax.lax.dynamic_update_slice(
             dmax, jnp.max(jnp.where(valid, d, -jnp.inf), axis=1), (s0,))
+        return (dmin, dmax), None
+
+    init = (jnp.full((C + 1,), jnp.inf), jnp.full((C + 1,), -jnp.inf))
+    (dmin, dmax), _ = jax.lax.scan(body, init,
+                                   jnp.asarray(starts, jnp.int32))
     return dmin, dmax
+
+
+def _brick_stats(bv, live_chunks, chunk_slots: int, min_weight: float):
+    """Pow2-padded wrapper over :func:`_brick_stats_scan` (pads by repeating
+    the last start — idempotent)."""
+    lc = list(live_chunks)
+    npad = 1 << int(np.ceil(np.log2(max(len(lc), 1))))
+    starts = np.asarray(lc + [lc[-1]] * (npad - len(lc)), np.int32)
+    return _brick_stats_scan(bv, jnp.asarray(starts), chunk_slots, min_weight)
 
 
 def _corner_stacks(bv, slots, min_weight: float):
@@ -1010,6 +1034,13 @@ def extract_soup_bricks(bv, min_weight: float = DEFAULT_MIN_WEIGHT,
 
     bstats = _brick_stats(bv, tuple(live_chunks), chunk_slots, min_weight)
     kb0 = min(chunk_slots, max(256, cube_budget // 64))
+    if budget_hint is not None and len(budget_hint) != len(live_chunks):
+        # zip() would silently drop live chunks past the shorter list —
+        # triangles would go missing with overflowed=False
+        raise ValueError(
+            f"budget_hint has {len(budget_hint)} entries for "
+            f"{len(live_chunks)} live chunks; pass the live_chunks the hint "
+            f"was measured on alongside it")
     budgets = (budget_hint if budget_hint is not None
                else [(cube_budget, kb0, tri_budget)] * len(live_chunks))
     if not check:
@@ -1027,11 +1058,10 @@ def extract_soup_bricks(bv, min_weight: float = DEFAULT_MIN_WEIGHT,
         tv = tvs[0] if len(outs) == 1 else jnp.concatenate(tvs, 0)
         n_tot = sum(o[2][0] for o in outs)
         ovf = sum(jnp.sum(o[2][1:4]) for o in outs) > 0
-        soup = MeshSoup(vertices=v_all, colors=c_all, tri_valid=tv,
-                        num_triangles=n_tot, overflowed=ovf)
-        soup.live_chunks = live_chunks
-        soup.budget_hint = budgets
-        return soup
+        return MeshSoup(vertices=v_all, colors=c_all, tri_valid=tv,
+                        num_triangles=n_tot, overflowed=ovf,
+                        live_chunks=tuple(live_chunks),
+                        budget_hint=tuple(budgets))
 
     def roundup(n, step, lo):
         # finer-than-pow2 budget grid: every stage's work scales with the
@@ -1074,24 +1104,24 @@ def extract_soup_bricks(bv, min_weight: float = DEFAULT_MIN_WEIGHT,
     total = int(sum(counts))
     if not verts:
         z = jnp.zeros((0, 3, 3), jnp.float32)
-        soup = MeshSoup(vertices=z,
+        return MeshSoup(vertices=z,
                         colors=(z if color_by_rgb or color_by_confidence
                                 else None),
                         tri_valid=jnp.zeros((0,), bool),
                         num_triangles=jnp.int32(0),
-                        overflowed=jnp.asarray(False))
-        soup.live_chunks = live_chunks
-        soup.budget_hint = [hints.get(s0, (cube_budget, kb0, tri_budget))
-                            for s0 in live_chunks]
-        return soup
+                        overflowed=jnp.asarray(False),
+                        live_chunks=tuple(live_chunks),
+                        budget_hint=tuple(
+                            hints.get(s0, (cube_budget, kb0, tri_budget))
+                            for s0 in live_chunks))
     v_all = verts[0] if len(verts) == 1 else jnp.concatenate(verts, 0)
     c_all = (None if not cols
              else (cols[0] if len(cols) == 1 else jnp.concatenate(cols, 0)))
-    soup = MeshSoup(vertices=v_all, colors=c_all,
+    return MeshSoup(vertices=v_all, colors=c_all,
                     tri_valid=jnp.arange(v_all.shape[0]) < total,
                     num_triangles=jnp.int32(total),
-                    overflowed=jnp.asarray(False))
-    soup.live_chunks = live_chunks
-    soup.budget_hint = [hints.get(s0, (cube_budget, kb0, tri_budget))
-                        for s0 in live_chunks]
-    return soup
+                    overflowed=jnp.asarray(False),
+                    live_chunks=tuple(live_chunks),
+                    budget_hint=tuple(
+                        hints.get(s0, (cube_budget, kb0, tri_budget))
+                        for s0 in live_chunks))

@@ -128,8 +128,7 @@ def make_render_pack(vol, r_budget: int = 4096) -> RenderPack:
     # Row R-1 stays reserved as the all-NaN padding table.
     coords = vol.coords[:R]
     used = (coords[:, 0] >= 0) & (jnp.arange(R) < R - 1)
-    truncated = (jnp.any(vol.coords[R - 1:, 0] >= 0)
-                 if vol.capacity >= R else jnp.asarray(False))
+    truncated = jnp.any(vol.coords[R - 1:, 0] >= 0)  # R <= capacity always
     bmap_flat = vol.brick_map.reshape(-1)
 
     def neighbor_slot(ox, oy, oz):
@@ -960,6 +959,19 @@ def render_depth_pallas_diff(vol, pose, downsample_by: int = 1,
             ch["valid"].reshape(H, W), ~overflow)
 
 
+def grow_r_budget(vol, r_budget: int = 4096) -> int:
+    """Gap-aware pack-budget sizing: the highest LIVE row decides
+    (merge_sharded volumes have per-device slot gaps, so n_active is not a
+    bound). Volumes beyond r_budget GROW the budget (pow2) instead of
+    falling back to the slow XLA march — tables live in HBM, so the kernel
+    handles the 2048^3 working point's full active set directly. One host
+    sync per doubling; shared by render_view_pallas and the bench."""
+    while vol.capacity > r_budget and bool(
+            jnp.any(vol.coords[r_budget - 1:, 0] >= 0)):
+        r_budget *= 2
+    return r_budget
+
+
 def render_view_pallas(vol, pose, downsample_by: int = 1, colored: bool = False,
                        pack: Optional[RenderPack] = None, r_budget: int = 4096,
                        pair_budget: int = 16384, interpret: bool = False):
@@ -976,15 +988,7 @@ def render_view_pallas(vol, pose, downsample_by: int = 1, colored: bool = False,
     if not (isinstance(vol, BrickVolume) and vol.brick_size == 8):
         return render_view(vol, pose, downsample_by, colored=colored)
     if pack is None:
-        # gap-aware budget sizing: the highest LIVE row decides (merge_sharded
-        # volumes have per-device slot gaps, so n_active is not a bound).
-        # Volumes beyond r_budget GROW the budget (pow2) instead of falling
-        # back to the slow XLA march — tables live in HBM, so the kernel
-        # handles the 2048^3 working point's full active set directly.
-        while vol.capacity > r_budget and bool(
-                jnp.any(vol.coords[r_budget - 1:, 0] >= 0)):
-            r_budget *= 2
-        pack = make_render_pack(vol, r_budget)
+        pack = make_render_pack(vol, grow_r_budget(vol, r_budget))
     attempts = 0
     while True:
         res, overflow = _render_pallas_jit(pack, jnp.asarray(pose, jnp.float32),

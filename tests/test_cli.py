@@ -182,3 +182,31 @@ def test_resume_and_visualize(tmp_path):
     assert len(va) == len(vb)
     np.testing.assert_allclose(np.sort(va.reshape(-1)), np.sort(vb.reshape(-1)),
                                atol=1e-5)
+
+
+def test_resume_without_frame_cursor_starts_fresh(tmp_path):
+    """A checkpoint volume with NO recoverable frame cursor (no next_frame in
+    the npz meta, no sidecar json — the legacy writer's crash window) must be
+    ignored: loading it and integrating from frame 0 would fuse every frame a
+    second time. The run must produce the same mesh as a fresh one."""
+    in_dir, out_a, out_b = (str(tmp_path / "in"), str(tmp_path / "a"),
+                            str(tmp_path / "b"))
+    _write_sequence(in_dir, n_frames=2)
+    rc = integrate_main(_common_args(in_dir, out_a) + ["--save-tsdf"])
+    assert rc == 0
+
+    # forge the pathological state in out_b: a cursor-less checkpoint of the
+    # FULLY fused volume, json missing
+    os.makedirs(out_b, exist_ok=True)
+    from cpu_tsdf_tpu.io.checkpoint import load_any, save_checkpoint
+    vol = load_any(os.path.join(out_a, "volume.npz"))
+    save_checkpoint(os.path.join(out_b, "checkpoint.npz"), vol, {})
+    assert not os.path.exists(os.path.join(out_b, "checkpoint.json"))
+
+    rc = integrate_main(_common_args(in_dir, out_b) + ["--resume"])
+    assert rc == 0
+    va, _, _ = ply_io.load_ply(os.path.join(out_a, "mesh.ply"))
+    vb, _, _ = ply_io.load_ply(os.path.join(out_b, "mesh.ply"))
+    assert len(va) == len(vb)  # double-fusion would shift the isosurface
+    np.testing.assert_allclose(np.sort(va.reshape(-1)),
+                               np.sort(vb.reshape(-1)), atol=1e-5)
