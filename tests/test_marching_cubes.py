@@ -245,3 +245,45 @@ def test_room_scene_brick_extraction_accuracy(small_cfg):
     voxel = cfg.xsize / cfg.xres
     frac = (dist < 1.5 * voxel).mean()
     assert frac > 0.97, (frac, np.percentile(dist, 99) / voxel)
+
+
+def test_anisotropic_volume_end_to_end():
+    """SURVEY §2 quirk row: the reference's OctreeNode only stores a cubic
+    cell size, so non-cubic volumes are approximate there; the new build
+    supports true per-axis resolution/extent. Integrate + render + extract
+    must work with distinct per-axis cell sizes, with the dense and brick
+    engines producing identical meshes."""
+    from cpu_tsdf_tpu import TSDFConfig, integrate, make_volume, render_view
+    from cpu_tsdf_tpu.bricks import integrate_bricks, make_brick_volume
+    from cpu_tsdf_tpu.ops.marching_cubes import extract_mesh_bricks
+    from cpu_tsdf_tpu.synthetic import sphere_depth
+
+    # 2.5 cm x 3.33 cm x 2 cm cells: resolution AND cell size differ per axis
+    cfg = TSDFConfig(
+        xres=64, yres=48, zres=80, xsize=1.6, ysize=1.6, zsize=1.6,
+        max_dist_pos=0.08, max_dist_neg=0.08,
+        min_sensor_dist=0.1, max_sensor_dist=3.0,
+        image_width=40, image_height=30,
+        focal_length_x=35.0, focal_length_y=35.0,
+        principal_point_x=20.0, principal_point_y=15.0,
+        max_cell_size_x=0.4, max_cell_size_y=0.4, max_cell_size_z=0.4)
+    pose = jnp.asarray(tilted_pose(), jnp.float32)
+    depth = jnp.asarray(sphere_depth(cfg, center=(-0.013, -0.021, 0.9),
+                                     radius=0.3))
+
+    vol = integrate(make_volume(cfg), depth, pose)
+    v, f, _ = extract_mesh(vol, min_weight=0.5)
+    r = np.linalg.norm(v, axis=1)  # sphere center ~ volume origin
+    assert len(f) > 400
+    assert np.abs(r - 0.3).mean() < 0.012  # within half the coarsest cell
+
+    rv = render_view(vol, pose)
+    assert int(np.isfinite(np.asarray(rv.depth)).sum()) > 200
+
+    bv = make_brick_volume(cfg, 8, 2048)
+    bv = integrate_bricks(bv, depth, pose, None, 1024)
+    assert not bool(bv.overflowed)
+    vb, fb, _ = extract_mesh_bricks(bv, min_weight=0.5)
+    assert len(fb) == len(f)  # engines agree exactly on the crossing set
+    np.testing.assert_allclose(np.sort(vb.reshape(-1)), np.sort(v.reshape(-1)),
+                               atol=1e-5)
