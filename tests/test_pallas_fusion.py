@@ -221,15 +221,18 @@ def test_module_flag_flip_retraces(small_cfg, monkeypatch):
     from cpu_tsdf_tpu import bricks as bricks_mod
     from cpu_tsdf_tpu.ops import pallas_fusion as pf
 
+    # image size + capacity unique to THIS test: the assertions count cache
+    # entries, so sharing shapes with another test's executables (full-suite
+    # order) would make the expected deltas zero
     cfg = small_cfg.with_updates(
-        image_width=640, image_height=480, focal_length_x=525.0,
-        focal_length_y=525.0, principal_point_x=319.5, principal_point_y=239.5)
+        image_width=544, image_height=416, focal_length_x=470.0,
+        focal_length_y=470.0, principal_point_x=271.5, principal_point_y=207.5)
     pose = jnp.asarray(tilted_pose(), jnp.float32)
     depth = jnp.asarray(sphere_depth(cfg, center=(-0.013, -0.021, 0.9),
                                      radius=0.3))
 
     def run():
-        bv = make_brick_volume(cfg, brick_size=8, capacity=2048)
+        bv = make_brick_volume(cfg, brick_size=8, capacity=1280)
         return integrate_bricks(bv, depth, pose, None, 512, True, True)
 
     jit_core = bricks_mod._integrate_bricks_jit
