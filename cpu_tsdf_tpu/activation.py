@@ -191,8 +191,12 @@ def _band_test(cfg: TSDFConfig, mips: DepthMips, ccx, ccy, ccz, r):
     # Sphere straddles the camera plane: footprint unbounded. Conservative
     # cone test around the optical axis + whole-image depth bounds. Such
     # spheres sit within r of the camera — O(1) of them per frame.
-    tan_h = 0.5 * W / fx + 1.0
-    tan_v = 0.5 * H / fy + 1.0
+    # The half-angle must cover the WIDER side of an off-center principal
+    # point: a pixel's |x|/z reaches max(pcx, W-1-pcx)/fx, so the symmetric
+    # 0.5*W/fx bound would cull genuinely visible bricks when
+    # fx + pcx < W/2 (wide FOV, shifted center).
+    tan_h = max(cfg.principal_point_x + 1.0, W - cfg.principal_point_x) / fx + 1.0
+    tan_v = max(cfg.principal_point_y + 1.0, H - cfg.principal_point_y) / fy + 1.0
     zc = jnp.maximum(z_hi, 0.0)
     cone = ((jnp.abs(ccx) - r <= tan_h * zc) & (jnp.abs(ccy) - r <= tan_v * zc))
     glob = (z_lo <= mips.global_max + m_lo) & (z_hi >= mips.global_min - m_hi)
@@ -252,18 +256,16 @@ def band_candidate_bricks(cfg: TSDFConfig, B: int, nb: Tuple[int, int, int],
         NT_iter = ncols * nty * ntz
     tile_budget = min(tile_budget, NT_iter)
     csx, csy, csz = cfg.cell_size
-    R = jnp.asarray(pose_inv)[:3, :3]
-    t = jnp.asarray(pose_inv)[:3, 3]
 
     def cam_center_radius(x0, y0, z0, x1, y1, z1):
         """World AABB -> camera-frame center + bounding radius."""
+        from .geometry import transform_points
+
         cx = (x0 + x1) * 0.5 - cfg.xsize / 2
         cy = (y0 + y1) * 0.5 - cfg.ysize / 2
         cz = (z0 + z1) * 0.5 - cfg.zsize / 2
         r = 0.5 * jnp.sqrt((x1 - x0) ** 2 + (y1 - y0) ** 2 + (z1 - z0) ** 2)
-        ccx = R[0, 0] * cx + R[0, 1] * cy + R[0, 2] * cz + t[0]
-        ccy = R[1, 0] * cx + R[1, 1] * cy + R[1, 2] * cz + t[1]
-        ccz = R[2, 0] * cx + R[2, 1] * cy + R[2, 2] * cz + t[2]
+        ccx, ccy, ccz = transform_points(pose_inv, cx, cy, cz)
         return ccx, ccy, ccz, r
 
     # ---- tile pass -------------------------------------------------------

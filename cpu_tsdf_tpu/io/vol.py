@@ -40,9 +40,17 @@ class _Reader:
         self.pos = pos
 
     def line(self) -> str:
+        if self.pos >= len(self.data):
+            # without this, find() returning -1 would reset pos to 0 and the
+            # callers' scan-until loops would spin forever on truncated files
+            raise ValueError("unexpected EOF while parsing .vol header")
         nl = self.data.find(b"\n", self.pos)
-        s = self.data[self.pos:nl].decode("ascii", "replace")
-        self.pos = nl + 1
+        if nl == -1:
+            s = self.data[self.pos:].decode("ascii", "replace")
+            self.pos = len(self.data)
+        else:
+            s = self.data[self.pos:nl].decode("ascii", "replace")
+            self.pos = nl + 1
         return s
 
     def take(self, n: int) -> bytes:
@@ -85,7 +93,8 @@ def load_vol(path: str):
     hdr = r.line()
     while not hdr.strip():
         hdr = r.line()
-    assert hdr.lstrip().startswith("%"), hdr
+    if not hdr.lstrip().startswith("%"):
+        raise ValueError(f".vol parse error: expected eigen '%' header, got {hdr!r}")
     rows, cols = (int(v) for v in hdr.lstrip()[1:].split())
     mat = np.zeros((rows, cols))
     for i in range(rows):
@@ -113,6 +122,15 @@ def load_vol(path: str):
         color_mode=("RGB" if type_string == "NOCOLOR" else type_string),
     )
 
+    cells = (xsize / xres, ysize / yres, zsize / zres)
+    if not (math.isclose(cells[0], cells[1], rel_tol=1e-6)
+            and math.isclose(cells[0], cells[2], rel_tol=1e-6)):
+        # leaf spans below derive from the node's single cubic size; unequal
+        # cells would rasterize y/z at shifted indices (silent corruption)
+        raise ValueError(
+            f".vol loader requires cubic cells; got {cells} — the reference "
+            "octree subdivides cubically, so such a file is not a faithful "
+            "reference artifact anyway")
     shape = (xres, yres, zres)
     sdf = np.full(shape, -1.0, np.float32)
     weight = np.zeros(shape, np.float32)
@@ -162,7 +180,10 @@ def load_vol(path: str):
             if color is not None:
                 color[sl] = decode_color(raw_color)
         else:
-            assert nchild == 8, nchild
+            if nchild != 8:
+                raise ValueError(
+                    f".vol parse error: node child count {nchild} (not 0/8) "
+                    f"at byte {pos - 8} — corrupt or misaligned stream")
             for _ in range(8):
                 pos = parse(pos)
         return pos
@@ -199,6 +220,16 @@ def save_vol(path: str, cfg: TSDFConfig, sdf, weight, M=None, nsample=None,
     exactly like the reference's broken writer (octree.cpp:416-424,565-571) —
     the bytes the reference's own loader expects.
     """
+    if not (cfg.xres == cfg.yres == cfg.zres
+            and cfg.xsize == cfg.ysize == cfg.zsize):
+        # the reference octree subdivides cubically (OctreeNode stores one
+        # scalar size_); the pyramid/node math below assumes the same, and
+        # silently truncated the volume for unequal axes before this guard
+        raise ValueError(
+            ".vol interop requires a cubic volume; got resolution "
+            f"{(cfg.xres, cfg.yres, cfg.zres)} size "
+            f"{(cfg.xsize, cfg.ysize, cfg.zsize)} — use the native npz "
+            "checkpoint (io.checkpoint) for anisotropic volumes")
     sdf = np.asarray(sdf, np.float32)
     weight = np.asarray(weight, np.float32)
     M = np.zeros_like(sdf) if M is None else np.asarray(M, np.float32)
@@ -230,7 +261,8 @@ def save_vol(path: str, cfg: TSDFConfig, sdf, weight, M=None, nsample=None,
                          (cfg.focal_length_x, cfg.focal_length_y,
                           cfg.principal_point_x, cfg.principal_point_y)) + "\n").encode())
     out.append(f"{cfg.image_width} {cfg.image_height}\n".encode())
-    is_empty = int(nsample.sum() == 0)
+    is_empty = int(not (weight > 0).any())  # nsample is optional; weights
+    # alone decide whether the reference should treat the volume as fused
     out.append(f"{is_empty}\n".encode())
     out.append(f"{int(cfg.weight_by_depth)}\n".encode())
     out.append(f"{int(cfg.weight_by_variance)}\n".encode())
@@ -277,7 +309,6 @@ def save_vol(path: str, cfg: TSDFConfig, sdf, weight, M=None, nsample=None,
         rec = prefix + struct.pack(_NODE_FMT, d, w, cx, cy, cz, size, Mv, ns)
         if subdivide:
             parts = [rec, struct.pack("<Q", 8)]
-            h = 1 << (lvl - 1)
             for di in (0, 1):
                 for dj in (0, 1):
                     for dk in (0, 1):

@@ -273,3 +273,26 @@ def test_brick_extraction_kernel_emit_budget_retry(scene):
     vb = np.asarray(stight.vertices)[np.asarray(stight.tri_valid)]
     np.testing.assert_allclose(np.sort(va.reshape(-1, 9), axis=0),
                                np.sort(vb.reshape(-1, 9), axis=0), atol=1e-6)
+
+
+def test_band_test_wide_fov_off_center_principal_point():
+    """Camera-plane-straddling spheres take a cone fallback whose half-angle
+    must cover the WIDER side of an off-center principal point: with
+    fx + pcx < W/2, the old symmetric 0.5*W/fx bound culled spheres holding
+    genuinely visible in-band voxels (silent observation loss in the brick
+    engine). Crafted sphere: voxel at x/z = 2.65, inside the true FOV
+    ((W-pcx)/fx = 2.7) but outside the symmetric bound (2.6)."""
+    from cpu_tsdf_tpu.activation import _band_test, depth_mips
+
+    cfg = TSDFConfig(
+        xres=64, yres=64, zres=64, xsize=1.6, ysize=1.6, zsize=1.6,
+        max_dist_pos=0.06, max_dist_neg=0.06,
+        min_sensor_dist=0.05, max_sensor_dist=3.0,
+        image_width=640, image_height=480,
+        focal_length_x=200.0, focal_length_y=200.0,
+        principal_point_x=100.0, principal_point_y=240.0,
+        max_cell_size_x=0.4, max_cell_size_y=0.4, max_cell_size_z=0.4)
+    mips = depth_mips(jnp.full((480, 640), 0.1, jnp.float32))
+    ok = _band_test(cfg, mips, jnp.asarray([0.4975]), jnp.asarray([0.0]),
+                    jnp.asarray([0.05]), jnp.asarray([0.1]))
+    assert bool(ok[0])

@@ -247,3 +247,53 @@ def test_vol_exotic_color_roundtrip(tmp_path, small_cfg, mode, nch):
     np.testing.assert_array_equal(got[mask], expect[mask])
     # every reconstructed value is the denormal the reference would hold
     assert np.all(got[mask] <= 256 * 1.5e-45)
+
+
+def test_vol_truncated_file_raises(tmp_path, small_cfg):
+    """A .vol truncated mid-header must raise a parse error, not spin forever
+    (the EOF find() used to reset the reader to byte 0)."""
+    from cpu_tsdf_tpu.io import vol as volio
+
+    p = str(tmp_path / "full.vol")
+    sdf = np.full((64, 64, 64), -1.0, np.float32)
+    w = np.zeros((64, 64, 64), np.float32)
+    w[30, 30, 30] = 1.0
+    volio.save_vol(p, small_cfg, sdf, w)
+    with open(p, "rb") as f:
+        head = f.read(120)  # cuts inside the ASCII header
+    t = str(tmp_path / "trunc.vol")
+    with open(t, "wb") as f:
+        f.write(head)
+    with pytest.raises(ValueError):
+        volio.load_vol(t)
+
+
+def test_vol_anisotropic_raises(tmp_path, small_cfg):
+    """.vol interop is defined only for cubic volumes (the reference octree
+    subdivides cubically); anisotropic configs must fail LOUDLY instead of
+    silently truncating the emitted octree to the first x-sized block."""
+    from cpu_tsdf_tpu.io import vol as volio
+
+    cfg = small_cfg.with_updates(yres=128, ysize=3.2)
+    sdf = np.full((64, 128, 64), -1.0, np.float32)
+    w = np.zeros((64, 128, 64), np.float32)
+    w[10, 100, 10] = 1.0  # outside the first 64^3 block on y
+    with pytest.raises(ValueError, match="cubic"):
+        volio.save_vol(str(tmp_path / "aniso.vol"), cfg, sdf, w)
+
+
+def test_vol_is_empty_from_weights(tmp_path, small_cfg):
+    """save_vol without nsample must not mark a fused volume empty (the
+    header flag used to come from the optional nsample argument alone)."""
+    from cpu_tsdf_tpu.io import vol as volio
+
+    p = str(tmp_path / "w.vol")
+    sdf = np.full((64, 64, 64), -1.0, np.float32)
+    w = np.zeros((64, 64, 64), np.float32)
+    w[30, 30, 30] = 2.0
+    volio.save_vol(p, small_cfg, sdf, w)
+    with open(p, "rb") as f:
+        lines = f.read(4096).split(b"\n")
+    # header line 11 is is_empty (after title, res, size, 5 scalars, cells,
+    # intrinsics, image size)
+    assert lines[11] == b"0", lines[:13]
