@@ -226,7 +226,8 @@ def main():
         n_rays = cfg.image_width * cfg.image_height
         t0 = time.time()
         pack = make_render_pack(bv, 4096)
-        res, ovf = _render_pallas_jit(pack, pose, 1, 32768, False, False)
+        res, ovf_fix, ovf_fatal = _render_pallas_jit(pack, pose, 1, 32768, False, False)
+        ovf = ovf_fix | ovf_fatal
         _ = float(fence(res.depth))
         log(f"raycast compile+first: {time.time()-t0:.1f}s overflow={bool(ovf)}")
         rates = []
@@ -235,7 +236,7 @@ def main():
             n = 10  # ~31 ms/render: amortize the ~30 ms fence floor to <10%
             for _ in range(n):
                 pack = make_render_pack(bv, 4096)
-                res, _ = _render_pallas_jit(pack, pose, 1, 32768, False, False)
+                res, _, _ = _render_pallas_jit(pack, pose, 1, 32768, False, False)
             _ = float(fence(res.depth))
             rates.append(n_rays / ((time.time() - t0) / n))
         rays_per_s = statistics.median(rates)
@@ -346,14 +347,14 @@ def main():
             rb = grow_r_budget(bv2, 4096)
             t0 = time.time()
             pack2 = make_render_pack(bv2, rb)
-            res2, ovf2 = _render_pallas_jit(pack2, pose, 1, 65536, False, False)
+            res2, _of, _ot = _render_pallas_jit(pack2, pose, 1, 65536, False, False); ovf2 = _of | _ot
             _ = float(fence(res2.depth))
             log(f"2048 render compile+first: {time.time()-t0:.1f}s "
                 f"r_budget={rb} overflow={bool(ovf2)}")
             t0 = time.time()
             for _ in range(3):
                 pack2 = make_render_pack(bv2, rb)
-                res2, ovf2 = _render_pallas_jit(pack2, pose, 1, 65536, False, False)
+                res2, _of, _ot = _render_pallas_jit(pack2, pose, 1, 65536, False, False); ovf2 = _of | _ot
             _ = float(fence(res2.depth))
             r2048 = 3 * n_rays / (time.time() - t0)
             nvalid = int(np.isfinite(np.asarray(res2.depth)).sum())

@@ -61,12 +61,12 @@ def main():
         fence(pack.tables)
         print(f"pack build {1000*(time.time()-t0):.1f} ms", flush=True)
 
-    meta, _, ovf = build_pairs(pack, pose, 1, 32768)
+    meta, _, _ovt, _ovp = build_pairs(pack, pose, 1, 32768); ovf = _ovt | _ovp
     n_pairs = int(jnp.sum(meta[:, 6]))
     print(f"pairs: {n_pairs} overflow={bool(ovf)}", flush=True)
 
     t0 = time.time()
-    res, ovf = _render_pallas_jit(pack, pose, 1, 32768, False, False)
+    res, _of, _ot = _render_pallas_jit(pack, pose, 1, 32768, False, False); ovf = _of | _ot
     fence(res.depth)
     print(f"kernel compile+first render {time.time()-t0:.1f}s", flush=True)
 
@@ -74,7 +74,7 @@ def main():
         t0 = time.time()
         n = 5
         for _ in range(n):
-            res, _ = _render_pallas_jit(pack, pose, 1, 32768, False, False)
+            res, _, _ = _render_pallas_jit(pack, pose, 1, 32768, False, False)
         fence(res.depth)
         per = (time.time() - t0) / n
         print(f"pallas render (prepacked): {per*1000:.1f} ms = "
@@ -85,7 +85,7 @@ def main():
     n = 5
     for _ in range(n):
         pack2 = make_render_pack(bv, 4096)
-        res, _ = _render_pallas_jit(pack2, pose, 1, 32768, False, False)
+        res, _, _ = _render_pallas_jit(pack2, pose, 1, 32768, False, False)
     fence(res.depth)
     per = (time.time() - t0) / n
     print(f"pallas render (incl pack): {per*1000:.1f} ms = "

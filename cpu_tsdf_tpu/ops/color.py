@@ -61,8 +61,11 @@ def lab_to_rgb(L, A, B):
     def delin(c):
         return jnp.where(c > 0.0031308, 1.055 * jnp.abs(c) ** (1.0 / 2.4) - 0.055, c * 12.92)
 
-    # Reference truncates via uint8 cast; emulate with trunc on the 0..255 value.
-    to8 = lambda c: jnp.trunc(delin(c) * 255.0)
+    # Reference truncates via static_cast<uint8_t>, which is UB for
+    # out-of-gamut values (weighted LAB averages routinely land slightly
+    # outside sRGB); clamp so reconstructions are always valid 0..255
+    # instead of returning negative "colors".
+    to8 = lambda c: jnp.trunc(jnp.clip(delin(c) * 255.0, 0.0, 255.0))
     return to8(rf), to8(gf), to8(bf)
 
 

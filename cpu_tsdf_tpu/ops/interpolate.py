@@ -20,12 +20,19 @@ from ..config import TSDFConfig
 from ..geometry import voxel_center, voxel_index
 
 
-def _corner_base(cfg: TSDFConfig, x, y, z):
+def _corner_base(cfg: TSDFConfig, x, y, z, adjusted_bounds: bool = False):
     """Select the lower corner voxel of the 8-cell interpolation neighborhood.
 
     Replicates the reference's two-step logic (cpp:489-501): floor index, then
-    step back along axes where the point is below the voxel center. Validity is
-    checked on the UN-adjusted index (cpp:491) — an edge quirk we keep.
+    step back along axes where the point is below the voxel center.
+
+    The two reference entry points bound DIFFERENT indices:
+      * interpolateTrilinearly (cpp:491) checks the UN-adjusted index
+        strictly inside [1, res-2] — an edge quirk we keep for the trilinear
+        path (adjusted_bounds=False);
+      * getNeighbors (cpp:809-811, behind getFxn/getGradient/getHessian)
+        checks the ADJUSTED corner base in [0, res-2] — so the half-voxel
+        shells at the volume faces are valid there (adjusted_bounds=True).
     """
     ix, iy, iz, exists = voxel_index(cfg, x, y, z)
     valid = exists & (ix > 0) & (ix < cfg.xres - 1) & (iy > 0) & (iy < cfg.yres - 1) \
@@ -34,6 +41,9 @@ def _corner_base(cfg: TSDFConfig, x, y, z):
     ix = jnp.where(x < cx, ix - 1, ix)
     iy = jnp.where(y < cy, iy - 1, iy)
     iz = jnp.where(z < cz, iz - 1, iz)
+    if adjusted_bounds:
+        valid = exists & (ix >= 0) & (ix < cfg.xres - 1) & (iy >= 0) \
+            & (iy < cfg.yres - 1) & (iz >= 0) & (iz < cfg.zres - 1)
     return ix, iy, iz, valid
 
 
@@ -118,9 +128,11 @@ def fxn_gradient_hessian(cfg: TSDFConfig, sdf, x, y, z):
     (cubic-cell assumption at cpp:663,689,711,770).
 
     Returns (val, grad[...,3], hess[...,3,3], valid). Unlike the trilinear
-    sampler, weights are NOT consulted (getNeighbors checks only existence).
+    sampler, weights are NOT consulted, and the bounds check is on the
+    ADJUSTED corner base (getNeighbors semantics — boundary half-shells are
+    valid here though the trilinear sampler rejects them).
     """
-    ix, iy, iz, valid = _corner_base(cfg, x, y, z)
+    ix, iy, iz, valid = _corner_base(cfg, x, y, z, adjusted_bounds=True)
     ixc = jnp.clip(ix, 0, cfg.xres - 2)
     iyc = jnp.clip(iy, 0, cfg.yres - 2)
     izc = jnp.clip(iz, 0, cfg.zres - 2)
@@ -229,7 +241,7 @@ def fxn_gradient_hessian_vol(vol, x, y, z):
     from ..bricks import gather_dw
 
     cfg = vol.config
-    ix, iy, iz, valid = _corner_base(cfg, x, y, z)
+    ix, iy, iz, valid = _corner_base(cfg, x, y, z, adjusted_bounds=True)
     ixc = jnp.clip(ix, 0, cfg.xres - 2)
     iyc = jnp.clip(iy, 0, cfg.yres - 2)
     izc = jnp.clip(iz, 0, cfg.zres - 2)

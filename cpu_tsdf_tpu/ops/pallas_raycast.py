@@ -265,11 +265,15 @@ def build_pairs(pack: RenderPack, pose, downsample_by: int, pair_budget: int):
     nx = tx1 - tx0 + 1
     ny = ty1 - ty0 + 1
     count = jnp.where(vis, nx * ny, 0)
-    overflow = jnp.any(count > MAX_TILES_PER_BRICK)
+    # two distinct overflow causes: a per-brick tile footprint beyond
+    # MAX_TILES_PER_BRICK cannot be fixed by a bigger pair list (fatal for
+    # the kernel), while n_pairs > P is exactly what growing pair_budget
+    # fixes — callers retry on the latter only
+    ovf_tiles = jnp.any(count > MAX_TILES_PER_BRICK)
     count = jnp.minimum(count, MAX_TILES_PER_BRICK)
     offset = jnp.cumsum(count) - count
     n_pairs = jnp.sum(count)
-    overflow |= n_pairs > P
+    ovf_pairs = n_pairs > P
 
     pair_tile = jnp.full((P,), T, jnp.int32)
     pair_slot = jnp.full((P,), R - 1, jnp.int32)
@@ -286,15 +290,15 @@ def build_pairs(pack: RenderPack, pose, downsample_by: int, pair_budget: int):
     order = jnp.argsort(pair_tile, stable=True)
     pair_tile = pair_tile[order]
     pair_slot = pair_slot[order]
-    first = jnp.concatenate([jnp.ones((1,), bool),
-                             pair_tile[1:] != pair_tile[:-1]])
     bc = pack.coords[pair_slot]
     meta = jnp.stack([
         pair_slot, pair_tile, jnp.maximum(bc[:, 0], 0), jnp.maximum(bc[:, 1], 0),
-        jnp.maximum(bc[:, 2], 0), first.astype(jnp.int32),
+        # col 5 (first-visit) is recomputed PER CHUNK in raycast_pairs —
+        # chunks re-seed their tiles from the carried buffer
+        jnp.maximum(bc[:, 2], 0), jnp.zeros((P,), jnp.int32),
         (pair_tile < T).astype(jnp.int32), jnp.zeros((P,), jnp.int32)], -1)
     tile_hit = jnp.zeros((T + 1,), bool).at[pair_tile].set(True)[:T]
-    return meta, tile_hit, overflow
+    return meta, tile_hit, ovf_tiles, ovf_pairs
 
 
 # ---------------------------------------------------------------------------
@@ -632,7 +636,9 @@ def _kernel(cfg: TSDFConfig, ds: int, TX: int, max_march: int, max_bt: int,
 
         blk = {}
         blk_nan = {}
-        for (i, j) in [(i, j) for i in (-1, 0, 1, 2) for j in (0, 1)] \
+        # center columns (i, j in {0,1}) come from the column4 fetch below;
+        # fetching them here too was 8 dead lookup scans per refinement
+        for (i, j) in [(i, j) for i in (-1, 2) for j in (0, 1)] \
                 + [(i, j) for i in (0, 1) for j in (-1, 2)]:
             (c0, c1), (n0, n1) = column2(lx0 + i, ly0 + j, lz0)
             blk[(i, j, 0)] = jnp.where(n0, -1.0, c0)
@@ -715,7 +721,11 @@ def raycast_pairs(pack: RenderPack, meta, pose, downsample_by: int,
     # capped budget could silently skip a crossing in a near-zero SDF brick)
     diag = math.sqrt(3.0) * 8 * max(cfg.cell_size) + 3 * cell_min
     max_march = int(diag / (cell_min / 4.0)) + 8
-    max_bt = int(cfg.max_dist_neg / (cfg.cell_size[2] / 2.0)) + 3
+    # the pre-crossing step can be as large as max_dist_pos (|d| spans up
+    # to max_dist_pos/max_dist_neg), so the backtrack budget must cover the
+    # LARGER truncation bound — ops/raycast.py:172 uses the same max()
+    max_bt = int(max(cfg.max_dist_pos, cfg.max_dist_neg)
+                 / (cfg.cell_size[2] / 2.0)) + 3
 
     pose = jnp.asarray(pose, jnp.float32)
     pose_flat = pose[:3, :].reshape(1, 12)
@@ -772,8 +782,11 @@ def _march_forward(pack: RenderPack, pose, downsample_by: int,
     ds = downsample_by
     W, H = cfg.image_width // ds, cfg.image_height // ds
     TX, TY = -(-W // TILE_PX), -(-H // TILE_PX)
-    meta, tile_hit, overflow = build_pairs(pack, pose, ds, pair_budget)
-    overflow |= pack.truncated      # dropped bricks -> wrong depths possible
+    meta, tile_hit, ovf_tiles, ovf_pairs = build_pairs(pack, pose, ds,
+                                                       pair_budget)
+    # fatal: a bigger pair list cannot fix these (dropped bricks -> wrong
+    # depths possible); fixable: retry with a larger pair_budget helps
+    ovf_fatal = ovf_tiles | pack.truncated
     out = raycast_pairs(pack, meta, pose, ds, pair_budget, interpret)
 
     # un-tile [T+1, NCH, 8, 128] -> [H, W] per channel
@@ -795,7 +808,7 @@ def _march_forward(pack: RenderPack, pose, downsample_by: int,
     )
     ch["valid"] = ch["valid"].reshape(-1)
     ch["nvalid"] = ch["nvalid"].reshape(-1)
-    return ch, overflow
+    return ch, ovf_pairs, ovf_fatal
 
 
 def _phase3_xla(vol, pose, downsample_by: int, t_bt, found):
@@ -859,9 +872,9 @@ def _march_diff(vol, pose, downsample_by, pair_budget, r_budget, interpret):
     (the custom-VJP pattern for the north-star differentiability surface,
     SURVEY §7 M3/M4)."""
     pack = make_render_pack(vol, r_budget)
-    ch, overflow = _march_forward(pack, pose, downsample_by, pair_budget,
-                                  interpret)
-    return ch, overflow
+    ch, ovf_fix, ovf_fatal = _march_forward(pack, pose, downsample_by,
+                                            pair_budget, interpret)
+    return ch, ovf_fix | ovf_fatal
 
 
 def _march_diff_fwd(vol, pose, downsample_by, pair_budget, r_budget, interpret):
@@ -897,9 +910,10 @@ _march_diff.defvjp(_march_diff_fwd, _march_diff_bwd)
 def _render_pallas_jit(pack: RenderPack, pose, downsample_by: int,
                        pair_budget: int, colored: bool, interpret: bool):
     pose = jnp.asarray(pose, jnp.float32)
-    ch, overflow = _march_forward(pack, pose, downsample_by, pair_budget,
-                                  interpret)
-    return _assemble_from_channels(pack, pose, downsample_by, colored, ch), overflow
+    ch, ovf_fix, ovf_fatal = _march_forward(pack, pose, downsample_by,
+                                            pair_budget, interpret)
+    return (_assemble_from_channels(pack, pose, downsample_by, colored, ch),
+            ovf_fix, ovf_fatal)
 
 
 def _assemble_from_channels(pack, pose, downsample_by, colored, ch):
@@ -991,14 +1005,18 @@ def render_view_pallas(vol, pose, downsample_by: int = 1, colored: bool = False,
         pack = make_render_pack(vol, grow_r_budget(vol, r_budget))
     attempts = 0
     while True:
-        res, overflow = _render_pallas_jit(pack, jnp.asarray(pose, jnp.float32),
-                                           downsample_by, pair_budget, colored,
-                                           interpret)
-        if not bool(overflow):
+        res, ovf_fix, ovf_fatal = _render_pallas_jit(
+            pack, jnp.asarray(pose, jnp.float32), downsample_by, pair_budget,
+            colored, interpret)
+        if bool(ovf_fatal):
+            # tile-footprint / dropped-brick overflow: a bigger pair list
+            # cannot fix it — fall back immediately instead of burning
+            # guaranteed-to-overflow retries (each is a fresh jit trace)
+            return render_view(vol, pose, downsample_by, colored=colored)
+        if not bool(ovf_fix):
             return res
         attempts += 1
         if attempts > 2 or pair_budget >= (1 << 18):
-            # per-brick tile-footprint overflow: the kernel can't cover it
             return render_view(vol, pose, downsample_by, colored=colored)
         # one generous jump (each budget value is a fresh jit trace)
         pair_budget = min(1 << 18, max(pair_budget * 8, 1 << 16))

@@ -211,3 +211,36 @@ def test_diff_render_reports_overflow(scene):
     d, valid, ok = render_depth_pallas_diff(bv, jnp.asarray(pose, jnp.float32),
                                             4, 4096, 16, True)
     assert not bool(ok)
+
+
+def test_kernel_asymmetric_truncation():
+    """max_dist_pos > max_dist_neg was untested end-to-end: the pre-crossing
+    march step reaches |d|*mdn ~ max_dist_pos, so the backtrack budget must
+    cover the LARGER truncation bound (it used only max_dist_neg, stranding
+    the backtrack mid-walk). Kernel must agree with the XLA march."""
+    from conftest import TSDFConfig
+
+    cfg = TSDFConfig(
+        xres=128, yres=128, zres=128, xsize=1.6, ysize=1.6, zsize=1.6,
+        max_dist_pos=0.08, max_dist_neg=0.03,
+        min_sensor_dist=0.1, max_sensor_dist=3.0,
+        image_width=64, image_height=48,
+        focal_length_x=56.0, focal_length_y=56.0,
+        principal_point_x=32.0, principal_point_y=24.0,
+        max_cell_size_x=0.4, max_cell_size_y=0.4, max_cell_size_z=0.4)
+    pose = tilted_pose()
+    depth = np.asarray(sphere_depth(cfg, center=(-0.013, -0.021, 0.9),
+                                    radius=0.3))
+    bv = make_brick_volume(cfg, 8, 2048)
+    bv = integrate_bricks(bv, jnp.asarray(depth),
+                          jnp.asarray(pose, jnp.float32))
+    rx = render_view(bv, pose)
+    rp = render_view_pallas(bv, pose, r_budget=1024, pair_budget=4096,
+                            interpret=True)
+    dx, dp = np.asarray(rx.depth), np.asarray(rp.depth)
+    vx, vp = ~np.isnan(dx), ~np.isnan(dp)
+    assert vx.sum() > 800
+    assert (vx == vp).mean() > 0.97
+    both = vx & vp
+    err = np.abs(dx[both] - dp[both])
+    assert np.median(err) < 2e-4, np.median(err)
