@@ -198,11 +198,15 @@ def _integrate_impl(argv=None) -> int:
         else:
             start_frame = cursor
             vol = load_any(ckpt_path)
-            if isinstance(vol, BrickVolume):
-                args.sparse = True
+            # the checkpoint's volume kind wins over the --sparse flag in
+            # BOTH directions (a dense checkpoint resumed under --sparse
+            # used to be fed into integrate_bricks)
+            args.sparse = isinstance(vol, BrickVolume)
+            if args.sparse:
                 dev = jax.config.jax_default_device or jax.devices()[0]
                 use_pallas = dev.platform not in ("cpu",)
-            log.info(f"Resuming from {ckpt_path} at frame {start_frame + 1}")
+            log.info(f"Resuming from {ckpt_path} at frame {start_frame + 1} "
+                     f"({'sparse' if args.sparse else 'dense'})")
 
     def save_ckpt(next_frame):
         import json as _json
@@ -241,14 +245,22 @@ def _integrate_impl(argv=None) -> int:
             rgb_img = None if rgb_img is None else np.asarray(rgb_img)
             log.debug(f"Reprojection yielded {np.isfinite(depth).sum()} valid "
                       f"points, of initial {np.isfinite(xyz[:, 2]).sum()}")
-        pose_rel = np.linalg.inv(poses[0]) @ pose  # integrate.cpp:650
+        # integrate.cpp:650; a directory without pose files falls back to
+        # identity poses frame-by-frame (see `pose` above), so frame 0 does too
+        pose0 = poses[0] if len(poses) else np.eye(4)
+        pose_rel = np.linalg.inv(pose0) @ pose
         if args.cloud_only:
             ok = np.isfinite(depth.reshape(-1))
-            uu, vv = np.meshgrid(np.arange(width), np.arange(height))
-            zz = depth.reshape(-1)[ok]
-            xx = (uu.reshape(-1)[ok] - cx) / fx * zz
-            yy = (vv.reshape(-1)[ok] - cy) / fy * zz
-            pts = np.stack([xx, yy, zz], -1)
+            if args.organized:
+                # the cloud carries exact x/y — keep them instead of
+                # re-deriving from (possibly default) pinhole intrinsics
+                pts = xyz.astype(np.float32)[ok]
+            else:
+                uu, vv = np.meshgrid(np.arange(width), np.arange(height))
+                zz = depth.reshape(-1)[ok]
+                xx = (uu.reshape(-1)[ok] - cx) / fx * zz
+                yy = (vv.reshape(-1)[ok] - cy) / fy * zz
+                pts = np.stack([xx, yy, zz], -1)
             pts = pts @ pose_rel[:3, :3].T + pose_rel[:3, 3]
             aggregate_pts.append(pts)
             if rgb_img is not None:
@@ -264,6 +276,11 @@ def _integrate_impl(argv=None) -> int:
         else:
             vol = integrate(vol, jnp.asarray(depth), jnp.asarray(pose_rel, jnp.float32),
                             None if (rgb_img is None or not args.color) else jnp.asarray(rgb_img))
+            if args.metrics_json:
+                # force device completion so the per-frame metric measures
+                # compute, not async dispatch (the sparse path syncs via its
+                # overflow readback; the dense path has no readback)
+                _ = float(np.asarray(vol.weight[0, 0, 0]))
         metrics.append(dict(frame=i, seconds=time.time() - t0))
         if args.save_every and not args.cloud_only and (i + 1) % args.save_every == 0:
             save_ckpt(i + 1)

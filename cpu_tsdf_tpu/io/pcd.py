@@ -19,7 +19,12 @@ _TYPE_MAP = {("F", 4): "<f4", ("F", 8): "<f8",
 
 
 def _lzf_decompress(data: bytes, expected: int) -> bytes:
-    """LZF decompression (liblzf format, as used by PCL)."""
+    """LZF decompression (liblzf format, as used by PCL).
+
+    Literal runs are slice copies; back-references copy in chunks of the
+    back-distance (correct for the overlapping case, where the run repeats
+    the last `dist` bytes) — per-frame host time matters, this sits on the
+    cloud-loading path for PCL's default binary_compressed format."""
     out = bytearray()
     i = 0
     n = len(data)
@@ -35,11 +40,15 @@ def _lzf_decompress(data: bytes, expected: int) -> bytes:
             if length == 7:
                 length += data[i]
                 i += 1
-            ref = len(out) - ((ctrl & 0x1F) << 8) - data[i] - 1
+            dist = ((ctrl & 0x1F) << 8) + data[i] + 1
             i += 1
-            for _ in range(length + 2):
-                out.append(out[ref])
-                ref += 1
+            ref = len(out) - dist
+            remaining = length + 2
+            while remaining > 0:
+                chunk = min(dist, remaining)
+                out += out[ref:ref + chunk]
+                ref += chunk
+                remaining -= chunk
     return bytes(out)
 
 
@@ -105,6 +114,10 @@ def load_pcd(path: str) -> PointCloud:
     off = 0
     while True:
         nl = data.find(b"\n", off)
+        if nl == -1:
+            # without this, off = nl + 1 would reset the scan to byte 0 and
+            # loop forever on non-PCD / truncated files
+            raise ValueError(f"{path}: no DATA line — not a valid PCD header")
         line = data[off:nl].decode("ascii", "replace")
         off = nl + 1
         if line.startswith("#"):
@@ -136,8 +149,6 @@ def load_pcd(path: str) -> PointCloud:
 
     if mode == "ascii":
         text = data[off:].decode("ascii")
-        cols = [len(c) if len(c) > 1 else None for c in
-                [np.zeros(1)] * 0]  # placeholder
         raw = np.loadtxt(text.strip().split("\n"), dtype=np.float64, ndmin=2)
         out = {}
         ci = 0

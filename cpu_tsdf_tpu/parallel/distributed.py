@@ -62,7 +62,18 @@ def initialize(coordinator_address: Optional[str] = None,
     if process_id is None and os.environ.get("JAX_PROCESS_ID"):
         process_id = int(os.environ["JAX_PROCESS_ID"])
     if coordinator_address is None and num_processes is None:
-        return False  # single-process session
+        # cloud-TPU pods advertise their topology in the environment;
+        # jax.distributed.initialize() with no args auto-detects there. Only
+        # attempt it when a pod signal is present — unconditionally calling
+        # it on single-host sessions raises (and could stall probing
+        # metadata servers on machines that merely look cloud-like).
+        pod_env = ("TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS",
+                   "CLOUD_TPU_TASK_ID", "TPU_WORKER_ID")
+        if not any(os.environ.get(k) for k in pod_env):
+            return False  # single-process session
+        jax.distributed.initialize()
+        _initialized = True
+        return True
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

@@ -129,7 +129,6 @@ def cleanup_mesh(verts: np.ndarray, faces: np.ndarray,
                                 if dd @ dd <= d2:
                                     union(i, j)
     roots = np.array([find(i) for i in range(len(faces))])
-    _, counts = np.unique(roots, return_counts=True)
     sizes = dict(zip(*np.unique(roots, return_counts=True)))
     keep = np.array([sizes[r] > min_neighbors for r in roots])
     faces = faces[keep]

@@ -210,3 +210,62 @@ def test_resume_without_frame_cursor_starts_fresh(tmp_path):
     assert len(va) == len(vb)  # double-fusion would shift the isosurface
     np.testing.assert_allclose(np.sort(va.reshape(-1)),
                                np.sort(vb.reshape(-1)), atol=1e-5)
+
+
+def test_sparse_resume_from_dense_checkpoint(tmp_path):
+    """--sparse --resume with a DENSE checkpoint must resume densely (the
+    checkpoint's volume kind wins): the sparse flag used to survive and send
+    a TSDFVolume into integrate_bricks."""
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    _write_sequence(in_dir, n_frames=3)
+    rc = integrate_main(_common_args(in_dir, out_dir)
+                        + ["--num-frames", "2", "--save-every", "1"])  # dense
+    assert rc == 0
+    rc = integrate_main(_common_args(in_dir, out_dir) + ["--sparse", "--resume"])
+    assert rc == 0
+    v, f, _ = ply_io.load_ply(os.path.join(out_dir, "mesh.ply"))
+    assert len(f) > 200
+
+
+def test_integrate_without_pose_files(tmp_path):
+    """A directory with clouds but NO pose files integrates with identity
+    poses (the per-frame fallback existed but poses[0] was still indexed)."""
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    _write_sequence(in_dir, n_frames=2)
+    for p in os.listdir(in_dir):
+        if p.endswith(".txt"):
+            os.remove(os.path.join(in_dir, p))
+    rc = integrate_main(_common_args(in_dir, out_dir))
+    assert rc == 0
+    v, f, _ = ply_io.load_ply(os.path.join(out_dir, "mesh.ply"))
+    assert len(f) > 200
+
+
+def test_load_pcd_rejects_non_pcd(tmp_path):
+    """A stray non-PCD file must raise a clean error, not hang rescanning
+    the buffer forever."""
+    import pytest
+
+    p = str(tmp_path / "junk.pcd")
+    with open(p, "wb") as f:
+        f.write(b"\x00\x01binary junk without DATA line")
+    with pytest.raises(ValueError, match="DATA"):
+        pcd_io.load_pcd(p)
+
+
+def test_lzf_backreference_decompress():
+    """The chunked back-reference copy must handle the overlapping case
+    (dist < length: the run repeats the last dist bytes). Our own encoder
+    emits literals only, so craft the stream by hand."""
+    from cpu_tsdf_tpu.io.pcd import _lzf_decompress
+
+    # literal "ab" (ctrl=1), then back-ref: length code 5 -> 7 bytes,
+    # dist = 2 (ctrl low bits 0, next byte 1 -> dist 2): "ab" repeated
+    stream = bytes([1]) + b"ab" + bytes([(5 << 5) | 0, 1])
+    out = _lzf_decompress(stream, 9)
+    assert out == b"ababababa", out
+    # long literal + far back-ref with length extension (ctrl>>5 == 7)
+    lit = bytes(range(32))
+    stream2 = bytes([31]) + lit + bytes([(7 << 5) | 0, 3, 31])  # len 7+3+2=12, dist 32
+    out2 = _lzf_decompress(stream2, 44)
+    assert out2 == lit + lit[:12], (len(out2), out2[-12:])
