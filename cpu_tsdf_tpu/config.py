@@ -105,6 +105,11 @@ class TSDFConfig:
             self.ysize / self.max_cell_size_y,
             self.zsize / self.max_cell_size_z,
         )
+        # volumes smaller than max_cell_size degrade to a root-only coarse
+        # grid (the reference's int-truncated log(0) path ends up skipping
+        # the recursive split); math.log(0) would raise here
+        if int(desired) <= 1:
+            return 0
         return int(math.ceil(math.log(int(desired)) / math.log(2)))
 
     @property

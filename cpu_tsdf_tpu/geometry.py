@@ -31,7 +31,12 @@ def voxel_center(cfg: TSDFConfig, ix, iy, iz):
 def voxel_index(cfg: TSDFConfig, x, y, z):
     """floor() voxel index of a point; also returns in-bounds mask.
 
-    tsdf_volume_octree.cpp:562-574 (double-precision offset math).
+    tsdf_volume_octree.cpp:562-574. NOTE: the reference computes the offset
+    math in double; this runs in the input dtype (f32 under the default jax
+    config), so points within f32 rounding of a voxel boundary can floor to
+    the adjacent index relative to the reference — an inherent half-ULP
+    divergence, not exact parity (tests use tilted poses to stay off the
+    degenerate boundaries).
     """
     ix = jnp.floor((x + cfg.xsize / 2.0) / cfg.xsize * cfg.xres).astype(jnp.int32)
     iy = jnp.floor((y + cfg.ysize / 2.0) / cfg.ysize * cfg.yres).astype(jnp.int32)

@@ -89,7 +89,12 @@ def fuse_observation(d, w, M, nsample, d_new, w_new, max_weight):
     keep nudging a saturated voxel.
     """
     wsum = w + w_new
-    d_upd = (d * w + d_new * w_new) / jnp.where(wsum > 0, wsum, 1.0)
+    # wsum == 0 (unseen voxel + zero-weight observation, e.g. a >= 10 m
+    # reading under weight_by_depth) must keep the old d: substituting the
+    # denominator alone wrote a phantom d=0 "surface" at weight 0
+    d_upd = jnp.where(wsum > 0,
+                      (d * w + d_new * w_new) / jnp.where(wsum > 0, wsum, 1.0),
+                      d)
     w_upd = jnp.minimum(wsum, max_weight)
     M_upd = M + w_new * (d_new - d_upd) * (d_new - d)
     return d_upd, w_upd, M_upd, nsample + 1
@@ -97,7 +102,10 @@ def fuse_observation(d, w, M, nsample, d_new, w_new, max_weight):
 
 def voxel_variance(M, w, nsample):
     """OctreeNode::getVariance (octree.cpp:281-287); inf below 5 samples."""
-    var = (M / jnp.where(w > 0, w, 1.0)) * (nsample / jnp.maximum(nsample - 1, 1))
+    # getVariance computes (M/w)*(nsample/(nsample-1)) with INT nsample_
+    # (octree.h:165), so the correction factor is integer division == 1 for
+    # every reachable n >= 5 — reference variance is exactly M/w
+    var = M / jnp.where(w > 0, w, 1.0)
     return jnp.where(nsample < 5, jnp.inf, var)
 
 

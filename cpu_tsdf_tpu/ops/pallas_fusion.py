@@ -321,14 +321,17 @@ def _kernel_inplace(cfg: TSDFConfig, B: int, W: int, n_coarse: int,
     n0 = n0_ref[0]
 
     if cfg.weight_by_variance:
-        var = (M0 / jnp.where(w0 > 0, w0, 1.0)) * (n0.astype(f32)
-                                                   / jnp.maximum(n0 - 1, 1).astype(f32))
+        # reference getVariance's n/(n-1) factor is INT division == 1 for
+        # n >= 5 (octree.h:165) — variance is exactly M/w
+        var = M0 / jnp.where(w0 > 0, w0, 1.0)
         var = jnp.where(n0 < 5, jnp.inf, var)
         scale = jnp.exp(-((d_new - d0) ** 2) / (2.0 * var))
         w_new = w_new * jnp.where(n0 > 5, scale, 1.0)
 
     wsum = w0 + w_new
-    d_upd = (d0 * w0 + d_new * w_new) / jnp.where(wsum > 0, wsum, 1.0)
+    d_upd = jnp.where(wsum > 0,
+                      (d0 * w0 + d_new * w_new) / jnp.where(wsum > 0, wsum, 1.0),
+                      d0)  # wsum == 0: keep old d (see ops/fusion.py)
     w_upd = jnp.minimum(wsum, cfg.max_weight)
     M_upd = M0 + w_new * (d_new - d_upd) * (d_new - d0)
     n_upd = n0 + 1

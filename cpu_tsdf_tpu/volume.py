@@ -87,7 +87,13 @@ def make_volume(cfg: TSDFConfig, dtype=jnp.float32) -> TSDFVolume:
 
 
 def reset(vol: TSDFVolume) -> TSDFVolume:
-    return make_volume(vol.config, dtype=vol.sdf.dtype)
+    """Reinitialize the fields; the global transform survives, exactly like
+    TSDFVolumeOctree::reset (tsdf_volume_octree.cpp:200-219), which rebuilds
+    only the octree."""
+    import dataclasses
+
+    fresh = make_volume(vol.config, dtype=vol.sdf.dtype)
+    return dataclasses.replace(fresh, global_transform=vol.global_transform)
 
 
 def occupied_voxel_indices(vol: TSDFVolume) -> np.ndarray:

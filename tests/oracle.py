@@ -52,7 +52,8 @@ class Node:
     def get_variance(self):
         if self.nsample < 5:
             return float("inf")
-        return (self.M / self.w) * (self.nsample / (self.nsample - 1))
+        # int division in the reference (octree.h:165): n/(n-1) == 1
+        return (self.M / self.w) * (self.nsample // (self.nsample - 1))
 
     def max_size(self):
         return math.sqrt(3) * self.size

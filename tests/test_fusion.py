@@ -39,7 +39,9 @@ def test_weight_cap_after_average():
 def test_variance_semantics():
     assert np.isinf(float(voxel_variance(jnp.float32(1.0), jnp.float32(3.0), jnp.int32(4))))
     v = float(voxel_variance(jnp.float32(2.0), jnp.float32(10.0), jnp.int32(10)))
-    assert v == pytest.approx((2.0 / 10.0) * (10.0 / 9.0))
+    # the reference's n/(n-1) Bessel factor is INT division (octree.h:165
+    # declares int nsample_), i.e. exactly 1 — variance is M/w
+    assert v == pytest.approx(2.0 / 10.0)
 
 
 def _integrate_pair(cfg, depth, pose, rgb=None):
@@ -172,3 +174,52 @@ def test_color_rgb_golden(small_cfg):
             np.testing.assert_allclose(col[ix, iy, iz], node.rgb, atol=1.0)
             checked += 1
     assert checked > 50
+
+
+def test_tiny_volume_integrates():
+    """Volumes smaller than max_cell_size must degrade to a root-only coarse
+    grid (num_coarse_levels == 0) instead of crashing in math.log(0)."""
+    from cpu_tsdf_tpu import TSDFConfig, integrate, make_volume
+    from cpu_tsdf_tpu.synthetic import sphere_depth
+
+    cfg = TSDFConfig(xsize=0.4, ysize=0.4, zsize=0.4, xres=32, yres=32,
+                     zres=32, min_sensor_dist=0.05)
+    assert cfg.num_coarse_levels == 0
+    depth = jnp.asarray(sphere_depth(cfg, center=(0, 0, 0.5), radius=0.1))
+    pose = jnp.eye(4, dtype=jnp.float32).at[2, 3].set(-0.45)
+    vol = integrate(make_volume(cfg), depth, pose)
+    assert int((np.asarray(vol.weight) > 0).sum()) > 500
+
+
+def test_zero_weight_observation_keeps_unseen_sdf(small_cfg):
+    """A valid observation with zero effective weight (a >= 10 m reading
+    under weight_by_depth) must not flip an unseen voxel's sdf from -1 to a
+    phantom 0 'surface' (the old wsum guard substituted the denominator but
+    still averaged with zero weights)."""
+    from cpu_tsdf_tpu import integrate, make_volume
+
+    cfg = small_cfg.with_updates(weight_by_depth=True, max_sensor_dist=20.0)
+    # flat depth at 12 m: w_new = 1 - min(12/10, 1) = 0 for every pixel
+    depth = jnp.full((cfg.image_height, cfg.image_width), 12.0, jnp.float32)
+    pose = jnp.asarray(tilted_pose(), jnp.float32)
+    vol = integrate(make_volume(cfg), depth, pose)
+    sdf = np.asarray(vol.sdf)
+    w = np.asarray(vol.weight)
+    assert (w == 0).all()
+    np.testing.assert_array_equal(sdf, -1.0)
+
+
+def test_reset_preserves_global_transform(small_cfg):
+    """reset() rebuilds the fields but keeps the global transform, like
+    TSDFVolumeOctree::reset (tsdf_volume_octree.cpp:200-219)."""
+    import dataclasses
+
+    from cpu_tsdf_tpu import make_volume
+    from cpu_tsdf_tpu.volume import reset
+
+    gt = jnp.eye(4, dtype=jnp.float32).at[0, 3].set(1.5)
+    vol = dataclasses.replace(make_volume(small_cfg), global_transform=gt)
+    vol2 = reset(vol)
+    np.testing.assert_array_equal(np.asarray(vol2.global_transform),
+                                  np.asarray(gt))
+    assert float(vol2.weight.sum()) == 0.0

@@ -79,13 +79,29 @@ def test_pallas_color_fusion_matches_xla(small_cfg, mode):
 def test_pallas_weighting_options(small_cfg):
     cfg = small_cfg.with_updates(weight_by_depth=True, weight_by_variance=True)
     pose = tilted_pose()
-    depth = sphere_depth(cfg, center=(-0.013, -0.021, 0.9), radius=0.3)
-    # several frames so the variance gate (nsample > 5) engages
-    bx = _run(cfg, [pose] * 7, depth, use_pallas=False)
-    bp = _run(cfg, [pose] * 7, depth, use_pallas=True)
+    rng = np.random.default_rng(3)
+    base = np.asarray(sphere_depth(cfg, center=(-0.013, -0.021, 0.9),
+                                   radius=0.3))
+    # several frames so the variance gate (nsample > 5) engages; per-frame
+    # depth noise keeps M genuinely positive — identical frames make
+    # exp(-(d-d0)^2/(2*M/w)) a 0/0 knife edge where the two engines' f32
+    # rounding diverges chaotically (and the reference NaN-poisons)
+    frames = [(base + rng.normal(0, 0.002, base.shape)).astype(np.float32)
+              for _ in range(7)]
+
+    def run(use_pallas):
+        bv = make_brick_volume(cfg, brick_size=8, capacity=2048)
+        for dep in frames:
+            bv = integrate_bricks(bv, jnp.asarray(dep),
+                                  jnp.asarray(pose, jnp.float32), None, 512,
+                                  use_pallas, use_pallas)
+        return bv
+
+    bx = run(False)
+    bp = run(True)
     # the exp() in the variance gate amplifies f32 association differences
-    np.testing.assert_allclose(np.asarray(bp.sdf), np.asarray(bx.sdf), atol=1e-2)
-    np.testing.assert_allclose(np.asarray(bp.weight), np.asarray(bx.weight), atol=1e-2)
+    np.testing.assert_allclose(np.asarray(bp.sdf), np.asarray(bx.sdf), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(bp.weight), np.asarray(bx.weight), atol=1e-3)
 
 
 def test_pallas_window_matches_full_band(small_cfg):
