@@ -130,6 +130,36 @@ def tilted_pose():
 
 PEAK_HBM_GBPS = 819.0  # TPU v5e per-chip HBM2 bandwidth
 
+# loopback ports the axon relay listens on when the TPU tunnel is alive
+_RELAY_PORTS = {8082, 8083, 8087, 8092}
+
+
+def _fail_fast_if_tunnel_dead():
+    """When the axon TPU plugin is on the path but its relay is down, the
+    jax import hangs FOREVER in the plugin's connect-retry loop — fail fast
+    with a diagnostic JSON line instead. Passive check (parses
+    /proc/net/tcp listen states; connecting to the relay would disturb it).
+    """
+    if "axon" not in os.environ.get("PYTHONPATH", "") and \
+            os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        return  # pure-CPU run: no tunnel involved
+    if "axon" not in os.environ.get("PYTHONPATH", ""):
+        return
+    try:
+        with open("/proc/net/tcp") as f:
+            lines = f.readlines()[1:]
+        listening = {int(l.split()[1].split(":")[1], 16)
+                     for l in lines if l.split()[3] == "0A"}
+    except OSError:
+        return  # cannot tell — proceed normally
+    if not (_RELAY_PORTS & listening):
+        print(json.dumps({
+            "metric": "integrate_fps", "value": None, "unit": "frames/s",
+            "vs_baseline": None,
+            "error": "TPU tunnel relay down (no listener on 8082+); "
+                     "jax import would hang — not benchmarked"}), flush=True)
+        sys.exit(2)
+
 
 def main():
     profile = "--profile" in sys.argv
@@ -145,6 +175,7 @@ def main():
         sys.stderr.write(out.stderr)
         print(out.stdout, end="", flush=True)
         return out.returncode
+    _fail_fast_if_tunnel_dead()
     baseline = measure_baseline()
     log(f"baseline: {baseline}")
 
