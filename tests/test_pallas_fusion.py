@@ -267,3 +267,17 @@ def test_module_flag_flip_retraces(small_cfg, monkeypatch):
     for b in (b1, b2, b3):
         np.testing.assert_array_equal(np.asarray(b.weight),
                                       np.asarray(b0.weight))
+
+
+def test_pallas_kernel_anisotropic_cells(small_cfg):
+    """The fusion kernel's projection/fits math uses per-axis cell sizes;
+    pin kernel-vs-XLA parity on a volume with three DIFFERENT cell sizes
+    (the anisotropic e2e test only covers the XLA brick engine)."""
+    cfg = small_cfg.with_updates(yres=48, zres=80)  # 2.5 / 3.33 / 2 cm cells
+    pose = tilted_pose()
+    depth = sphere_depth(cfg, center=(-0.013, -0.021, 0.9), radius=0.3)
+    bx = _run(cfg, [pose], depth, use_pallas=False)
+    bp = _run(cfg, [pose], depth, use_pallas=True)
+    assert int(bp.n_active) == int(bx.n_active) > 20
+    np.testing.assert_array_equal(np.asarray(bp.weight), np.asarray(bx.weight))
+    np.testing.assert_allclose(np.asarray(bp.sdf), np.asarray(bx.sdf), atol=1e-5)
