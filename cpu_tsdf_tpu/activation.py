@@ -205,6 +205,45 @@ def _band_test(cfg: TSDFConfig, mips: DepthMips, ccx, ccy, ccz, r):
     return in_sensor & jnp.where(usable, bounded_act, unbounded_act)
 
 
+def carve_candidate_slots(cfg: TSDFConfig, B: int, mips: DepthMips,
+                          pose_inv, coords, live):
+    """[C] bool mask of LIVE brick slots strictly in FRONT of every depth
+    under their footprint — the band test's near-side reject.
+
+    The reference fuses clamped free-space observations (d_new clamped to
+    +max_dist_pos, hpp:189-198) into every visible voxel, so an allocated
+    brick re-observed as free space (disocclusion, noise-spawned bricks)
+    must keep receiving updates — "carving" stale surfaces toward d=+1.
+    Band activation alone skips those bricks: its test requires the sphere
+    to overlap the depth band. This mask is mutually exclusive with the
+    band test (z_hi < dmin - m_hi is the negation of its far conjunct), so
+    callers append carve slots to the band candidate list without dedup.
+
+    Camera-plane-straddling spheres (unusable footprint) are left out: the
+    band test's unbounded fallback already covers them whenever any depth
+    is in range, and a straddling brick is by definition within r of the
+    camera — inside min_sensor_dist at every practical working point.
+    """
+    from .geometry import transform_points
+
+    csx, csy, csz = cfg.cell_size
+    x0 = coords[:, 0].astype(jnp.float32) * (B * csx)
+    y0 = coords[:, 1].astype(jnp.float32) * (B * csy)
+    z0 = coords[:, 2].astype(jnp.float32) * (B * csz)
+    cx = x0 + 0.5 * B * csx - cfg.xsize / 2
+    cy = y0 + 0.5 * B * csy - cfg.ysize / 2
+    cz = z0 + 0.5 * B * csz - cfg.zsize / 2
+    r = 0.5 * float(np.sqrt((B * csx) ** 2 + (B * csy) ** 2 + (B * csz) ** 2))
+    ccx, ccy, ccz = transform_points(pose_inv, cx, cy, cz)
+    usable, dmin, _ = _sphere_footprint(cfg, mips, ccx, ccy, ccz, r)
+    _, m_hi = _band_margins(cfg)
+    in_sensor = (ccz + r >= cfg.min_sensor_dist) & (ccz - r <= cfg.max_sensor_dist)
+    # empty/NaN-only footprints give dmin = +inf: no pixel can update the
+    # brick, so it is NOT a carve candidate despite z_hi < inf
+    infront = usable & jnp.isfinite(dmin) & (ccz + r < dmin - m_hi)
+    return live & in_sensor & infront
+
+
 def _compact(mask_flat, ids, budget: int):
     """Budgeted stream compaction: ids where mask, -1 padded. Returns
     (list [budget] int32, count)."""
@@ -240,7 +279,10 @@ def band_candidate_bricks(cfg: TSDFConfig, B: int, nb: Tuple[int, int, int],
     ITERATION level (only tile columns overlapping the slab are tested), so
     per-device activation cost scales with the slab, not the volume, while
     the per-brick tests are unchanged — the result is bit-equal to the
-    global list filtered to the slab (same ascending-linear-id order).
+    global list filtered to the slab (same TILE-MAJOR order: ascending
+    tile id, then local brick id within the tile — NOT ascending brick
+    linear id; both paths share the traversal, which is what the
+    bit-equality rests on).
     """
     nbx, nby, nbz = nb
     TB = pick_tile_bricks(nb)

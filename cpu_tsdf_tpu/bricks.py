@@ -15,12 +15,17 @@ shapes (SURVEY §7 architecture):
     reference's pre-split pass (hpp:57-90) + adaptive split (hpp:161-188);
   * the per-voxel update inside active bricks is the SAME fusion math as the
     dense path (ops/fusion.compute_observation), so brick and dense volumes
-    agree exactly on every allocated voxel.
+    agree exactly on every allocated voxel — including re-observed free
+    space: a CARVE pass adds live bricks strictly in front of the depths
+    under their footprint to each frame's update list (the reference fuses
+    clamped d=+1 observations there, hpp:189-198; band activation alone
+    would skip them and stale surfaces would survive disocclusion).
 
-Free-space observations (the reference's coarse d=1 cells) are not stored —
-rays treat unallocated bricks as unobserved (d=-1, w=0), which preserves the
-crossing semantics (a crossing requires both weights nonzero and the
-pre-crossing sample always lies inside the allocated band).
+Free-space observations of NEVER-allocated bricks (the reference's coarse
+d=1 cells) are not stored — rays treat unallocated bricks as unobserved
+(d=-1, w=0), which preserves the crossing semantics (a crossing requires
+both weights nonzero and the pre-crossing sample always lies inside the
+allocated band).
 
 Capacity overflow is detected and reported via the ``overflowed`` field —
 never silently dropped.
@@ -150,6 +155,14 @@ def gather_color(vol, ix, iy, iz):
 # integration
 # ---------------------------------------------------------------------------
 
+def carve_budget_for(update_budget: int) -> int:
+    """Static size of the carve batch appended to each frame's update list:
+    live-but-in-front bricks are empty in static scenes and a thin shell
+    under motion, so an eighth of the band budget (lane-aligned) covers it;
+    denser carve sets raise `overflowed`, never drop silently."""
+    return max(256, (update_budget // 8 + 127) // 128 * 128)
+
+
 def _allocate(vol: BrickVolume, want_mask):
     """Allocate slots for newly-active bricks (prefix-sum assignment).
 
@@ -184,8 +197,15 @@ def _allocate(vol: BrickVolume, want_mask):
 
 
 def _allocate_from_list(vol: BrickVolume, cand):
-    """Allocate slots for the new bricks of a candidate list (budget-sized
-    prefix-sum assignment; -1 entries are padding). Candidates are unique."""
+    """Allocate slots for the new bricks of a candidate list (budget-sized;
+    -1 entries are padding). Candidates are unique.
+
+    Assignment is GAP-AWARE: the k-th new brick takes the k-th FREE row
+    (coords[:, 0] < 0), not row n_active + k — merge_sharded volumes have
+    per-device slot gaps, where the prefix assumption silently mapped two
+    bricks onto one row. On contiguous volumes the free rows are exactly
+    [n_active, usable), so the assignment (and every downstream bit) is
+    unchanged."""
     usable = vol.capacity - 1
     nbx, nby, nbz = vol.bricks_per_axis
     nbtot = nbx * nby * nbz
@@ -195,16 +215,26 @@ def _allocate_from_list(vol: BrickVolume, cand):
     is_new = ok_c & (cur < 0)
     rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
     n_new = jnp.sum(is_new.astype(jnp.int32))
-    slots = vol.n_active + rank
-    overflow = (vol.n_active + n_new) > usable
-    ok = is_new & (slots < usable)
+
+    live = vol.coords[:, 0] >= 0
+    free = (~live) & (jnp.arange(vol.capacity) < usable)  # dump row excluded
+    n_free = jnp.sum(free.astype(jnp.int32))
+    frank = jnp.cumsum(free.astype(jnp.int32)) - 1
+    free_rows = jnp.full((vol.capacity + 1,), vol.capacity, jnp.int32).at[
+        jnp.where(free, frank, vol.capacity)].set(
+        jnp.arange(vol.capacity, dtype=jnp.int32), mode="drop",
+        unique_indices=True)
+    slots = jnp.take(free_rows, jnp.clip(rank, 0, vol.capacity), mode="clip")
+    overflow = n_new > n_free
+    ok = is_new & (rank < n_free)
     bm = vol.brick_map.reshape(-1).at[jnp.where(ok, safe, nbtot)].set(
         jnp.where(ok, slots, 0), mode="drop", unique_indices=True)
     bc = jnp.stack([safe // (nby * nbz), (safe // nbz) % nby, safe % nbz], -1)
     slots_safe = jnp.where(ok, slots, vol.capacity)
     coords = vol.coords.at[slots_safe].set(
         jnp.where(ok[:, None], bc, 0), mode="drop")
-    n_active = jnp.minimum(vol.n_active + n_new, usable).astype(jnp.int32)
+    n_active = (jnp.sum(live.astype(jnp.int32))
+                + jnp.minimum(n_new, n_free)).astype(jnp.int32)
     return dataclasses.replace(
         vol, brick_map=bm.reshape(vol.brick_map.shape), coords=coords,
         n_active=n_active, overflowed=vol.overflowed | overflow)
@@ -249,11 +279,10 @@ def _jitter_split_bricks(cfg, nb, depth, pose, bids, update_budget, key):
         py = ry * z + nvec[..., 1] * scale
         pz = z + nvec[..., 2] * scale
         wx, wy, wz = transform_points(pose, px, py, pz)
-        ix = jnp.floor((wx + cfg.xsize / 2) / cfg.xsize * cfg.xres).astype(jnp.int32)
-        iy = jnp.floor((wy + cfg.ysize / 2) / cfg.ysize * cfg.yres).astype(jnp.int32)
-        iz = jnp.floor((wz + cfg.zsize / 2) / cfg.zsize * cfg.zres).astype(jnp.int32)
-        ok = valid & (ix >= 0) & (ix < cfg.xres) & (iy >= 0) & (iy < cfg.yres) \
-            & (iz >= 0) & (iz < cfg.zres)
+        from .geometry import voxel_index
+
+        ix, iy, iz, inb = voxel_index(cfg, wx, wy, wz)
+        ok = valid & inb
         blin = ((ix // B_) * nby + (iy // B_)) * nbz + (iz // B_)
         mask = mask.at[jnp.where(ok, blin, nbtot).reshape(-1)].set(True)
 
@@ -301,7 +330,8 @@ def _integrate_bricks_jit(vol: BrickVolume, depth, pose, rgb, split_key,
                           update_budget: int, use_pallas: bool,
                           pallas_interpret: bool, pallas_window: bool,
                           pallas_band: int) -> BrickVolume:
-    from .activation import band_candidate_bricks, depth_mips
+    from .activation import (_compact, band_candidate_bricks,
+                             carve_candidate_slots, depth_mips)
 
     cfg = vol.config
     B = vol.brick_size
@@ -320,6 +350,19 @@ def _integrate_bricks_jit(vol: BrickVolume, depth, pose, rgb, split_key,
         bids, n_band, jovf = _jitter_split_bricks(
             cfg, (nbx, nby, nbz), depth, pose, bids, update_budget, key)
         overflow |= jovf
+
+    # carve pass: LIVE bricks strictly in front of every depth under their
+    # footprint get the reference's clamped free-space updates (hpp:189-198)
+    # — the band list skips them by construction. Computed on the PRE-
+    # allocation live set (band-new bricks can't be in front of the band).
+    carve_budget = carve_budget_for(update_budget)
+    live_pre = vol.coords[:, 0] >= 0
+    carve_mask = carve_candidate_slots(cfg, B, mips, pose_inv, vol.coords,
+                                       live_pre)
+    carve_slots, n_carve = _compact(
+        carve_mask, jnp.arange(vol.capacity, dtype=jnp.int32), carve_budget)
+    overflow |= n_carve > carve_budget
+
     vol = _allocate_from_list(vol, bids)
     active_ok = bids >= 0
     bsafe = jnp.maximum(bids, 0)
@@ -328,6 +371,16 @@ def _integrate_bricks_jit(vol: BrickVolume, depth, pose, rgb, split_key,
     bx = bsafe // (nby * nbz)
     by = (bsafe // nbz) % nby
     bz = bsafe % nbz
+
+    carve_ok = carve_slots >= 0
+    cs_safe = jnp.clip(carve_slots, 0, vol.capacity - 1)
+    cc = jnp.take(vol.coords, cs_safe, axis=0)
+    bx = jnp.concatenate([bx, jnp.maximum(cc[:, 0], 0)])
+    by = jnp.concatenate([by, jnp.maximum(cc[:, 1], 0)])
+    bz = jnp.concatenate([bz, jnp.maximum(cc[:, 2], 0)])
+    slot_ok = jnp.concatenate([slot_ok, carve_ok])
+    slots = jnp.concatenate([slots, cs_safe])
+
     new_sdf, new_w, new_M, new_n, new_color = fuse_brick_batch(
         cfg, B, bx, by, bz, slot_ok, slots,
         vol.sdf, vol.weight, vol.M, vol.nsample, vol.color,

@@ -74,23 +74,32 @@ def update_color(mode: str, color_old, w_old, r, g, b, w_new):
 
     w_old is the PRE-update (already capped) weight, as in RGBNode::addObservation
     (octree.cpp:328-337) which reads w_ before the SDF update mutates it.
+
+    wsum == 0 (unseen voxel + zero-effective-weight observation, e.g. a
+    >= 10 m reading under weight_by_depth) keeps the old color — the raw
+    0/0 would write NaN and 0*NaN poisons every later update (same guard
+    as fuse_observation on the SDF side).
     """
     wsum = w_old + w_new
+    seen = (wsum > 0)[..., None]
+    den = jnp.where(wsum > 0, wsum, 1.0)[..., None]
     if mode == COLOR_MODE_RGB:
         # uint8 truncation after every update (octree.cpp:333-335).
-        new = jnp.trunc((w_old[..., None] * color_old + w_new[..., None] * jnp.stack([r, g, b], -1))
-                        / wsum[..., None])
-        return new
+        new = jnp.trunc((w_old[..., None] * color_old
+                         + w_new[..., None] * jnp.stack([r, g, b], -1)) / den)
+        return jnp.where(seen, new, color_old)
     if mode == COLOR_MODE_RGB_NORMALIZED:
         # Chromaticity + intensity averaging (octree.cpp:379-393).
         i = jnp.sqrt(r * r + g * g + b * b)
         obs = jnp.stack([r / i, g / i, b / i, i], -1)
-        return (w_old[..., None] * color_old + w_new[..., None] * obs) / wsum[..., None]
+        new = (w_old[..., None] * color_old + w_new[..., None] * obs) / den
+        return jnp.where(seen, new, color_old)
     if mode == COLOR_MODE_LAB:
         # Average in CIELAB (octree.cpp:530-543).
         L, A, B = rgb_to_lab(r, g, b)
         obs = jnp.stack([L, A, B], -1)
-        return (w_old[..., None] * color_old + w_new[..., None] * obs) / wsum[..., None]
+        new = (w_old[..., None] * color_old + w_new[..., None] * obs) / den
+        return jnp.where(seen, new, color_old)
     raise ValueError(f"unknown color mode {mode!r}")
 
 

@@ -127,13 +127,14 @@ def active_cube_mask(vol: TSDFVolume, min_weight: float):
     all_corners = jnp.all(corner_ok, axis=0)
     # center voxel (== lower corner voxel) occupancy gate (cpp:190-193)
     center_ok = corner_ok[0]
-    # interior: center index in [1, res-2] (cpp:199-202); cube grid index i
-    # corresponds to center voxel i, so exclude i == 0 and i >= res-2+1.
+    # interior: center index in [1, res-2] INCLUSIVE (cpp:199-202 rejects
+    # idx <= 0 and idx >= res-1); `< X - 2` dropped the last interior layer
+    # of cubes on the +axis sides (its corners reach res-1, still in-bounds)
     X, Y, Z = cfg.xres, cfg.yres, cfg.zres
     ii = jnp.arange(X - 1)[:, None, None]
     jj = jnp.arange(Y - 1)[None, :, None]
     kk = jnp.arange(Z - 1)[None, None, :]
-    interior = (ii >= 1) & (ii < X - 2) & (jj >= 1) & (jj < Y - 2) & (kk >= 1) & (kk < Z - 2)
+    interior = (ii >= 1) & (ii < X - 1) & (jj >= 1) & (jj < Y - 1) & (kk >= 1) & (kk < Z - 1)
     sign_change = jnp.any(dc < 0, axis=0) & jnp.any(dc >= 0, axis=0)
     return all_corners & center_ok & interior & sign_change
 
@@ -587,9 +588,10 @@ def _interior_mask(cfg, coords, B: int, V: int):
     vx = coords[:, 0:1] * B + vid // (B * B)
     vy = coords[:, 1:2] * B + (vid // B) % B
     vz = coords[:, 2:3] * B + vid % B
-    return ((vx >= 1) & (vx < cfg.xres - 2)
-            & (vy >= 1) & (vy < cfg.yres - 2)
-            & (vz >= 1) & (vz < cfg.zres - 2))
+    # [1, res-2] inclusive, matching active_cube_mask / the reference
+    return ((vx >= 1) & (vx < cfg.xres - 1)
+            & (vy >= 1) & (vy < cfg.yres - 1)
+            & (vz >= 1) & (vz < cfg.zres - 1))
 
 
 # Neighbor-brick directions, in the plane order fed to the halo kernel.
@@ -758,8 +760,8 @@ def _corner_halo_kernel(min_weight: float, KBLK: int, V: int, res: tuple,
     vx = jnp.broadcast_to(coords_ref[:, 0:1] * 8, (KBLK, V)) + lane // 64
     vy = jnp.broadcast_to(coords_ref[:, 1:2] * 8, (KBLK, V)) + (lane // 8) % 8
     vz = jnp.broadcast_to(coords_ref[:, 2:3] * 8, (KBLK, V)) + lane % 8
-    interior = ((vx >= 1) & (vx < xr - 2) & (vy >= 1) & (vy < yr - 2)
-                & (vz >= 1) & (vz < zr - 2))
+    interior = ((vx >= 1) & (vx < xr - 1) & (vy >= 1) & (vy < yr - 1)
+                & (vz >= 1) & (vz < zr - 1))
     ok = corner_ok & neg & pos & interior
     ok_ref[...] = ok.astype(jnp.int32)
     loc_ref[...] = _pack_left(ok, lane, V)

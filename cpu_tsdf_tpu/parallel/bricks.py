@@ -88,8 +88,9 @@ def _integrate_sharded_jit(bv: BrickVolume, depth, rgb, pose,
     has_color = bv.color is not None and rgb is not None
 
     def body(*args):
-        from ..activation import band_candidate_bricks, depth_mips
-        from ..bricks import fuse_brick_batch
+        from ..activation import (_compact, band_candidate_bricks,
+                                  carve_candidate_slots, depth_mips)
+        from ..bricks import carve_budget_for, fuse_brick_batch
 
         brick_map_l, n_active_l, coords_l, sdf_l, w_l, M_l, n_l = args[:7]
         i = 7
@@ -118,6 +119,10 @@ def _integrate_sharded_jit(bv: BrickVolume, depth, rgb, pose,
         bz = gsafe % nbz
         llin = jnp.where(gok, (bx - bx0) * (nby * nbz) + gsafe % (nby * nbz), 0)
 
+        # carve candidates come from the PRE-allocation live set (band-new
+        # bricks cannot be in front of the band)
+        coords_pre = coords_l
+
         # ---- local allocation (bricks.py:_allocate_from_list, local slots) --
         usable = C_local - 1
         n_act = n_active_l[0]
@@ -141,6 +146,25 @@ def _integrate_sharded_jit(bv: BrickVolume, depth, rgb, pose,
         gslots = jnp.take(brick_map_l.reshape(-1), llin, mode="clip")
         slot_ok = gok & (gslots >= 0)
         lslots = jnp.where(slot_ok, gslots - dev * C_local, C_local)
+
+        # ---- carve pass over the device's LOCAL live set (same semantics
+        # as the single-device path; coords are global brick coords, so the
+        # footprint math is identical and stays slab-restricted for free) --
+        carve_budget = carve_budget_for(budget_local)
+        live_pre = coords_pre[:, 0] >= 0
+        carve_mask = carve_candidate_slots(cfg, B, mips, pose_inv_r,
+                                           coords_pre, live_pre)
+        carve_slots, n_carve = _compact(
+            carve_mask, jnp.arange(C_local, dtype=jnp.int32), carve_budget)
+        overflow |= n_carve > carve_budget
+        carve_ok = carve_slots >= 0
+        cs_safe = jnp.clip(carve_slots, 0, C_local - 1)
+        cc = jnp.take(coords_pre, cs_safe, axis=0)
+        bx = jnp.concatenate([bx, jnp.maximum(cc[:, 0], 0)])
+        by = jnp.concatenate([by, jnp.maximum(cc[:, 1], 0)])
+        bz = jnp.concatenate([bz, jnp.maximum(cc[:, 2], 0)])
+        slot_ok = jnp.concatenate([slot_ok, carve_ok])
+        lslots = jnp.concatenate([lslots, cs_safe])
 
         # ---- the SAME batched update as the single-device path (including
         # the Pallas kernel and color), over the local slot partition ----

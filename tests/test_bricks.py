@@ -296,3 +296,111 @@ def test_band_test_wide_fov_off_center_principal_point():
     ok = _band_test(cfg, mips, jnp.asarray([0.4975]), jnp.asarray([0.0]),
                     jnp.asarray([0.05]), jnp.asarray([0.1]))
     assert bool(ok[0])
+
+
+def test_carve_pass_matches_dense_on_disocclusion(small_cfg):
+    """Allocated bricks re-observed as free space must keep receiving the
+    reference's clamped d=+1 updates (hpp:189-196): frame 1 fuses a NEAR
+    sphere (allocating its band bricks), frame 2 sees a FAR plane — the
+    frame-1 bricks now sit in front of every depth, which band activation
+    alone skips. Brick and dense volumes must agree exactly on every
+    allocated voxel, including those carve updates."""
+    from cpu_tsdf_tpu.synthetic import plane_depth
+
+    cfg = small_cfg
+    pose = jnp.asarray(tilted_pose(), jnp.float32)
+    near = jnp.asarray(sphere_depth(cfg, center=(-0.013, -0.021, 0.6),
+                                    radius=0.2))
+    far = jnp.asarray(plane_depth(cfg, z0=1.4))
+
+    dense1 = integrate(make_volume(cfg), near, pose)
+    f1 = np.asarray(dense1.weight) > 0  # voxels the near frame observed
+    assert f1.sum() > 50
+
+    dense = make_volume(cfg)
+    bv = make_brick_volume(cfg, 8, 2048)
+    for depth in (near, far):
+        dense = integrate(dense, depth, pose)
+        bv = integrate_bricks(bv, depth, pose, None, 1024)
+    assert not bool(bv.overflowed)
+    bd = to_dense(bv)
+    alloc = np.asarray(bv.brick_map) >= 0
+    B = bv.brick_size
+    mask = np.repeat(np.repeat(np.repeat(alloc, B, 0), B, 1), B, 2)
+    wd, wb = np.asarray(dense.weight), np.asarray(bd.weight)
+    # frame 2 must have carved EVERY frame-1 voxel (they all sit in front of
+    # the far plane and inside its frustum): w = 2 and sdf pushed toward +1
+    np.testing.assert_array_equal(wd[f1], 2.0)
+    np.testing.assert_array_equal(wb[f1], 2.0)
+    assert (np.asarray(bd.sdf)[f1] > np.asarray(dense1.sdf)[f1] - 1e-6).all()
+    # and the engines agree exactly on every allocated voxel
+    np.testing.assert_array_equal(wb[mask], wd[mask])
+    np.testing.assert_allclose(np.asarray(bd.sdf)[mask],
+                               np.asarray(dense.sdf)[mask], atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(bd.nsample)[mask],
+                                  np.asarray(dense.nsample)[mask])
+
+
+def test_integrate_into_merged_sharded_volume():
+    """Allocation is gap-aware: merge_sharded volumes have per-device slot
+    gaps, where the old prefix assignment (slot = n_active + rank) mapped a
+    new brick onto an already-occupied row, silently corrupting both."""
+    import os
+    import subprocess
+    import sys
+
+    script = r'''
+import numpy as np, jax
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
+import jax.numpy as jnp
+from cpu_tsdf_tpu.bricks import integrate_bricks, make_brick_volume, to_dense
+from cpu_tsdf_tpu import TSDFConfig, integrate, make_volume
+from cpu_tsdf_tpu.parallel import make_tsdf_mesh
+from cpu_tsdf_tpu.parallel.bricks import integrate_bricks_sharded, make_sharded_brick_volume, merge_sharded
+from cpu_tsdf_tpu.synthetic import sphere_depth
+
+cfg = TSDFConfig(
+    xres=64, yres=64, zres=64, xsize=1.6, ysize=1.6, zsize=1.6,
+    max_dist_pos=0.06, max_dist_neg=0.06, min_sensor_dist=0.1,
+    max_sensor_dist=3.0, image_width=40, image_height=30,
+    focal_length_x=35.0, focal_length_y=35.0,
+    principal_point_x=20.0, principal_point_y=15.0,
+    max_cell_size_x=0.4, max_cell_size_y=0.4, max_cell_size_z=0.4)
+mesh = make_tsdf_mesh(jax.devices("cpu")[:2])
+p1 = np.eye(4, dtype=np.float32); p1[:3, 3] = (0.013, 0.021, -0.9)
+d1 = jnp.asarray(sphere_depth(cfg, center=(-0.013, -0.021, 0.9), radius=0.3))
+sb = make_sharded_brick_volume(cfg, mesh, 8, capacity_per_device=512)
+sb = integrate_bricks_sharded(sb, d1, jnp.asarray(p1), mesh, update_budget=1024)
+bv = merge_sharded(sb)
+# second frame integrated into the MERGED (gapped) volume
+p2 = np.eye(4, dtype=np.float32); p2[:3, 3] = (0.08, 0.0, -0.85)
+d2 = jnp.asarray(sphere_depth(cfg, center=(-0.08, 0.0, 0.85), radius=0.3))
+bv = integrate_bricks(bv, d2, jnp.asarray(p2), None, 1024)
+assert not bool(bv.overflowed)
+# every brick_map slot maps to a unique row whose coords match
+bm = np.asarray(bv.brick_map)
+slots = bm[bm >= 0]
+assert len(slots) == len(np.unique(slots)), "row collision"
+coords = np.asarray(bv.coords)
+nb = bm.shape
+for bidx in np.argwhere(bm >= 0)[:50]:
+    s = bm[tuple(bidx)]
+    assert (coords[s] == bidx).all(), (coords[s], bidx)
+# field parity with a dense volume over both frames
+dense = make_volume(cfg)
+dense = integrate(dense, d1, jnp.asarray(p1))
+dense = integrate(dense, d2, jnp.asarray(p2))
+bd = to_dense(bv)
+alloc = bm >= 0
+mask = np.repeat(np.repeat(np.repeat(alloc, 8, 0), 8, 1), 8, 2)
+np.testing.assert_array_equal(np.asarray(bd.weight)[mask],
+                              np.asarray(dense.weight)[mask])
+print("MERGED-INTEGRATE OK")
+'''
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=2")
+    r = subprocess.run([sys.executable, "-c", script], env=env, timeout=600,
+                       capture_output=True, text=True,
+                       cwd=os.path.join(os.path.dirname(__file__), ".."))
+    assert r.returncode == 0 and "MERGED-INTEGRATE OK" in r.stdout, (
+        r.stdout[-2000:], r.stderr[-2000:])
