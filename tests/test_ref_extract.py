@@ -590,3 +590,35 @@ def test_variance_weighting_matches_compiled_reference(have_ref, small_cfg):
     np.testing.assert_allclose(d[both], rd[both], atol=1e-3)
     np.testing.assert_allclose(w[both], rw[both], atol=1e-3)
     assert np.isfinite(d).all()  # ours must not propagate the 0/0
+
+
+@pytest.mark.slow
+def test_disocclusion_carving_matches_compiled_reference(have_ref, small_cfg):
+    """Free-space carving golden: frame 1 fuses a NEAR sphere, frame 2 sees
+    a FAR plane, so frame-1 voxels receive the reference's clamped d=+1
+    free-space updates (hpp:189-196). Every frame-1 voxel must end at the
+    reference's carved d/w exactly — this is the semantics the brick
+    engines' carve pass mirrors (tests/test_bricks.py)."""
+    import test_fusion as tf
+
+    cfg = small_cfg.with_updates(frustum_culling=False)
+    pose = tf.tilted_pose()
+    near = np.asarray(sphere_depth(cfg, center=(-0.013, -0.021, 0.6),
+                                   radius=0.2))
+    from cpu_tsdf_tpu.synthetic import plane_depth
+
+    far = np.asarray(plane_depth(cfg, z0=1.4))
+    frames = [(pose, near), (pose, far)]
+    ref = _run_reference(cfg, frames)
+    vol = make_volume(cfg)
+    for p, dep in frames:
+        vol = integrate(vol, jnp.asarray(dep), jnp.asarray(p, jnp.float32))
+    ix, iy, iz = ref["idx"]
+    rec = ref["rec"]
+    same = np.asarray(vol.nsample)[ix, iy, iz] == rec["ns"]
+    carved = same & (rec["ns"] == 2) & (rec["d"] > 0.5)
+    assert carved.sum() > 30, carved.sum()  # genuinely double-observed voxels
+    np.testing.assert_allclose(np.asarray(vol.sdf)[ix, iy, iz][same],
+                               rec["d"][same], atol=3e-5)
+    np.testing.assert_allclose(np.asarray(vol.weight)[ix, iy, iz][same],
+                               rec["w"][same], atol=2e-5)
