@@ -109,7 +109,7 @@ def depth_mips(depth: jnp.ndarray) -> DepthMips:
     )
 
 
-def _footprint_depth_bounds(mips: DepthMips, u0, u1, v0, v1):
+def _footprint_depth_bounds(mips: DepthMips, u0, u1, v0, v1, need_max=True):
     """Conservative (dmin, dmax) over pixel rect [u0,u1]x[v0,v1] (inclusive,
     already clamped to the padded image) via a 2x2 texel mip lookup."""
     span = jnp.maximum(jnp.maximum(u1 - u0, v1 - v0), 0) + 1
@@ -127,6 +127,10 @@ def _footprint_depth_bounds(mips: DepthMips, u0, u1, v0, v1):
     dmin = jnp.minimum(
         jnp.minimum(tex(mips.flat_min, tv0, tu0), tex(mips.flat_min, tv0, tu1)),
         jnp.minimum(tex(mips.flat_min, tv1, tu0), tex(mips.flat_min, tv1, tu1)))
+    if not need_max:
+        # arbitrary gathers are the cost here (~0.3 G elem/s on this TPU);
+        # the carve test only consumes dmin, so skip the 4 max lookups
+        return dmin, None
     dmax = jnp.maximum(
         jnp.maximum(tex(mips.flat_max, tv0, tu0), tex(mips.flat_max, tv0, tu1)),
         jnp.maximum(tex(mips.flat_max, tv1, tu0), tex(mips.flat_max, tv1, tu1)))
@@ -143,7 +147,8 @@ def _band_margins(cfg: TSDFConfig):
             max(cfg.max_dist_neg, cfg.max_dist_pos) + cell)
 
 
-def _sphere_footprint(cfg: TSDFConfig, mips: DepthMips, ccx, ccy, ccz, r):
+def _sphere_footprint(cfg: TSDFConfig, mips: DepthMips, ccx, ccy, ccz, r,
+                      need_max=True):
     """Depth bounds under a sphere's conservative image footprint.
 
     Returns (usable, dmin, dmax): `usable` is False when the sphere straddles
@@ -170,9 +175,10 @@ def _sphere_footprint(cfg: TSDFConfig, mips: DepthMips, ccx, ccy, ccz, r):
     u1 = jnp.clip(jnp.ceil(u_max).astype(jnp.int32) + 1, 0, W - 1)
     v0 = jnp.clip(jnp.floor(v_min).astype(jnp.int32) - 1, 0, H - 1)
     v1 = jnp.clip(jnp.ceil(v_max).astype(jnp.int32) + 1, 0, H - 1)
-    dmin, dmax = _footprint_depth_bounds(mips, u0, u1, v0, v1)
+    dmin, dmax = _footprint_depth_bounds(mips, u0, u1, v0, v1, need_max)
     inf = jnp.float32(jnp.inf)
-    return usable, jnp.where(empty, inf, dmin), jnp.where(empty, -inf, dmax)
+    return (usable, jnp.where(empty, inf, dmin),
+            None if dmax is None else jnp.where(empty, -inf, dmax))
 
 
 def _band_test(cfg: TSDFConfig, mips: DepthMips, ccx, ccy, ccz, r):
@@ -235,7 +241,8 @@ def carve_candidate_slots(cfg: TSDFConfig, B: int, mips: DepthMips,
     cz = z0 + 0.5 * B * csz - cfg.zsize / 2
     r = 0.5 * float(np.sqrt((B * csx) ** 2 + (B * csy) ** 2 + (B * csz) ** 2))
     ccx, ccy, ccz = transform_points(pose_inv, cx, cy, cz)
-    usable, dmin, _ = _sphere_footprint(cfg, mips, ccx, ccy, ccz, r)
+    usable, dmin, _ = _sphere_footprint(cfg, mips, ccx, ccy, ccz, r,
+                                        need_max=False)
     _, m_hi = _band_margins(cfg)
     in_sensor = (ccz + r >= cfg.min_sensor_dist) & (ccz - r <= cfg.max_sensor_dist)
     # empty/NaN-only footprints give dmin = +inf: no pixel can update the
