@@ -65,8 +65,27 @@ def worker(proc_id: int, nproc: int, port: str) -> int:
     n_act = int(jnp.sum(bv.n_active))
     ovf = bool(bv.overflowed.addressable_data(0)) if hasattr(
         bv.overflowed, "addressable_data") else bool(bv.overflowed)
+
+    # hybrid [dcn, shard] mesh: the slab axis stays INSIDE each process
+    # (stand-in for ICI), dcn crosses processes; the volume replicates over
+    # dcn and slab-shards over the inner axis — integrate must produce the
+    # same field as the 1D global mesh
+    hmesh = dist.make_hybrid_mesh()
+    assert hmesh.shape[dist.DCN_AXIS] == nproc, hmesh.shape
+    bh = make_sharded_brick_volume(cfg, hmesh, 8, capacity_per_device=256)
+    depth_h = dist.replicate_to_mesh(depth, hmesh)
+    pose_h = dist.replicate_to_mesh(pose, hmesh)
+    bh = integrate_bricks_sharded(bh, depth_h, pose_h, hmesh,
+                                  update_budget=1024)
+    # dcn replication is a sharding property: the GLOBAL array is the same
+    # logical volume, so its sums must equal the 1D-mesh result exactly
+    hsum = float(jnp.sum(bh.weight))
+    hd = float(jnp.sum(bh.sdf * bh.weight))
+    assert abs(hsum - wsum) < 1e-3 * max(1.0, abs(wsum)), (hsum, wsum)
+
     print(f"CHECK proc={proc_id} wsum={wsum:.6f} dsum={dsum:.6f} "
-          f"n_active={n_act} overflow={ovf}", flush=True)
+          f"n_active={n_act} overflow={ovf} "
+          f"hybrid_wsum={hsum:.6f} hybrid_dsum={hd:.6f}", flush=True)
     return 0
 
 

@@ -43,7 +43,8 @@ def make_sharded_brick_volume(cfg: TSDFConfig, mesh: Mesh, brick_size: int = 8,
                               capacity_per_device: int = 1 << 12) -> BrickVolume:
     """Brick volume laid out for slab sharding: brick_map sharded on x,
     data arrays sharded by slot partition, n_active as a [D] vector."""
-    D = mesh.devices.size
+    D = int(mesh.shape[AXIS])  # slab count = the shard axis extent
+    # (hybrid [dcn, shard] meshes replicate the volume across dcn)
     B = brick_size
     nbx = cfg.xres // B
     assert nbx % D == 0, (nbx, D)
@@ -79,7 +80,8 @@ def _integrate_sharded_jit(bv: BrickVolume, depth, rgb, pose,
                            pallas_band: int) -> BrickVolume:
     cfg = bv.config
     B = bv.brick_size
-    D = mesh.devices.size
+    D = int(mesh.shape[AXIS])  # slab count = the shard axis extent
+    # (hybrid [dcn, shard] meshes replicate the volume across dcn)
     C_local = bv.capacity // D
     nbx, nby, nbz = bv.bricks_per_axis
     nbx_local = nbx // D
@@ -232,7 +234,8 @@ def integrate_bricks_sharded(bv: BrickVolume, depth, pose, mesh: Mesh,
     budget, making per-device work equal to single-device work. A slab
     denser than the local budget raises ``overflowed``, never drops
     silently."""
-    D = mesh.devices.size
+    D = int(mesh.shape[AXIS])  # slab count = the shard axis extent
+    # (hybrid [dcn, shard] meshes replicate the volume across dcn)
     if budget_per_device is None:
         num, den = (2, 1) if D >= 4 else (3, 2)
         budget_per_device = min(update_budget,

@@ -170,3 +170,37 @@ def test_sharded_budget_per_device_overflow_flag(mesh, scene):
     df, do = to_dense(mf), to_dense(mo)
     np.testing.assert_array_equal(np.asarray(do.weight), np.asarray(df.weight))
     np.testing.assert_array_equal(np.asarray(do.sdf), np.asarray(df.sdf))
+
+
+def test_hybrid_mesh_matches_1d(scene):
+    """A hybrid [dcn, shard] mesh (volume replicated across dcn, slab-sharded
+    on the inner axis) must fuse the identical global field as the 1D mesh:
+    the slab count comes from the SHARD axis extent, not the total device
+    count. Single-process stand-in for the multi-host DCN x ICI layout
+    (bench/multiprocess_demo.py runs the real jax.distributed version)."""
+    from jax.sharding import Mesh
+
+    from cpu_tsdf_tpu.parallel.distributed import DCN_AXIS
+    from cpu_tsdf_tpu.parallel.sharding import AXIS
+
+    cfg, pose, depth = scene
+    devs = np.asarray(jax.devices("cpu")[:8])
+    mesh1 = make_tsdf_mesh(devs[:4])
+    meshh = Mesh(devs.reshape(2, 4), (DCN_AXIS, AXIS))
+
+    def run(mesh):
+        bv = make_sharded_brick_volume(cfg, mesh, 8, capacity_per_device=512)
+        bv = integrate_bricks_sharded(bv, jnp.asarray(depth),
+                                      jnp.asarray(pose, jnp.float32), mesh,
+                                      update_budget=1024)
+        assert not bool(np.asarray(bv.overflowed))
+        return merge_sharded(bv)
+
+    b1 = run(mesh1)
+    bh = run(meshh)
+    assert int(b1.n_active) == int(bh.n_active) > 20
+    d1 = to_dense(b1)
+    dh = to_dense(bh)
+    np.testing.assert_array_equal(np.asarray(dh.weight), np.asarray(d1.weight))
+    np.testing.assert_allclose(np.asarray(dh.sdf), np.asarray(d1.sdf),
+                               atol=1e-6)
