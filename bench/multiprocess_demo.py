@@ -70,7 +70,9 @@ def worker(proc_id: int, nproc: int, port: str) -> int:
     # (stand-in for ICI), dcn crosses processes; the volume replicates over
     # dcn and slab-shards over the inner axis — integrate must produce the
     # same field as the 1D global mesh
-    hmesh = dist.make_hybrid_mesh()
+    # the axon plugin ignores JAX_PLATFORMS, so the default backend may be a
+    # single-process TPU — build the hybrid mesh from the gloo CPU devices
+    hmesh = dist.make_hybrid_mesh(devices=cpus)
     assert hmesh.shape[dist.DCN_AXIS] == nproc, hmesh.shape
     bh = make_sharded_brick_volume(cfg, hmesh, 8, capacity_per_device=256)
     depth_h = dist.replicate_to_mesh(depth, hmesh)

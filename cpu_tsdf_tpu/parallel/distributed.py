@@ -90,7 +90,8 @@ def make_mesh(devices: Optional[Sequence] = None) -> Mesh:
     return Mesh(np.asarray(devices), (AXIS,))
 
 
-def make_hybrid_mesh(ici_per_host: Optional[int] = None) -> Mesh:
+def make_hybrid_mesh(ici_per_host: Optional[int] = None,
+                     devices: Optional[Sequence] = None) -> Mesh:
     """2D (dcn, shard) mesh: the slab axis stays inside each host/slice (ICI),
     the outer axis crosses hosts (DCN).
 
@@ -98,25 +99,39 @@ def make_hybrid_mesh(ici_per_host: Optional[int] = None) -> Mesh:
     brick volume sharded P(None, AXIS) keeps every slab exchange on ICI while
     P(DCN_AXIS) distributes independent work (e.g. frames of different
     sensors) across hosts.
+
+    `devices` selects which backend's devices form the mesh (defaults to the
+    default backend's). The process count is derived from the devices
+    themselves, NOT from jax.process_count(): on machines where a
+    single-process accelerator plugin owns the default backend, the
+    multi-process CPU mesh would otherwise collapse to one process.
     """
-    if jax.process_count() == 1:
-        d = jax.devices()
-        return Mesh(np.asarray(d).reshape(1, len(d)), (DCN_AXIS, AXIS))
+    if devices is None:
+        devices = jax.devices()
+    devs = sorted(devices, key=lambda d: (d.process_index, d.id))
+    nproc = len({d.process_index for d in devs})
+    if nproc == 1:
+        return Mesh(np.asarray(devs).reshape(1, len(devs)), (DCN_AXIS, AXIS))
     if ici_per_host is None:
-        ici_per_host = jax.local_device_count()
+        ici_per_host = len(devs) // nproc
     try:
         from jax.experimental import mesh_utils
 
         arr = mesh_utils.create_hybrid_device_mesh(
-            (ici_per_host,), (jax.process_count(),))
+            (ici_per_host,), (nproc,), devices=devs)
         # create_hybrid_device_mesh returns [dcn, ici]
-        return Mesh(arr.reshape(jax.process_count(), ici_per_host),
-                    (DCN_AXIS, AXIS))
+        return Mesh(arr.reshape(nproc, ici_per_host), (DCN_AXIS, AXIS))
     except Exception:
         # deterministic fallback: sort global devices by (process, id)
-        devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
-        arr = np.asarray(devs).reshape(jax.process_count(), ici_per_host)
+        arr = np.asarray(devs).reshape(nproc, ici_per_host)
         return Mesh(arr, (DCN_AXIS, AXIS))
+
+
+def _mesh_process_count(mesh: Mesh) -> int:
+    """Number of distinct processes owning the mesh's devices (NOT
+    jax.process_count(), which reports the DEFAULT backend's and misleads
+    when a single-process accelerator plugin owns that backend)."""
+    return len({d.process_index for d in mesh.devices.flat})
 
 
 def replicate_to_mesh(x, mesh: Mesh):
@@ -124,7 +139,7 @@ def replicate_to_mesh(x, mesh: Mesh):
     multi-process) mesh without host-side gathering."""
     x = np.asarray(x)
     sharding = NamedSharding(mesh, P())
-    if jax.process_count() == 1:
+    if _mesh_process_count(mesh) == 1:
         return jax.device_put(x, sharding)
     return jax.make_array_from_process_local_data(sharding, x)
 
@@ -135,7 +150,7 @@ def shard_to_mesh(x, mesh: Mesh, spec: P):
     transferred on each host."""
     x = np.asarray(x)
     sharding = NamedSharding(mesh, spec)
-    if jax.process_count() == 1:
+    if _mesh_process_count(mesh) == 1:
         return jax.device_put(x, sharding)
     return jax.make_array_from_callback(
         x.shape, sharding, lambda idx: x[idx])
