@@ -50,19 +50,18 @@ from ..config import TSDFConfig
 BAND_ROWS = 128    # depth rows visible to one brick's footprint
 # Column window for the depth lookup: the one-hot matmul contracts over the
 # window width, so 256 instead of a 640-wide image cuts the kernel's MXU
-# work 2.5x. Off by default until measured on hardware (the windowed band
-# needs a lane-dim pl.ds, unproven on this Mosaic toolchain).
+# work 2.5x. Measured on v5e (bench/window_probe r4): 7.89 ms/frame vs 9.55
+# without, bit-exact parity — ON by default (TSDF_FUSE_WINDOW=0 disables).
 DEPTH_WINDOW_COLS = 256
-# Default for the column window (TSDF_FUSE_WINDOW=1 enables; callers read
-# this at call time, so tests can monkeypatch it — the flag is a static jit
-# arg, never baked into a cached executable under a stale value).
-USE_DEPTH_WINDOW = os.environ.get("TSDF_FUSE_WINDOW", "0") == "1"
+# Callers read this at call time, so tests can monkeypatch it — the flag is
+# a static jit arg, never baked into a cached executable under a stale value.
+USE_DEPTH_WINDOW = os.environ.get("TSDF_FUSE_WINDOW", "1") == "1"
 # Narrow row band: shrinks the one-hot matmul's OUTPUT rows (and the VPU
 # row-mask reduce) from 128 to 64. Same fits-gating pattern as the column
-# window — bricks whose footprint exceeds the band fall back to XLA (at the
-# default working points a brick's footprint is ~25 rows, so fallback only
-# engages very close to the camera). TSDF_FUSE_BAND64=1 enables pending the
-# hardware measurement; 64 stays a multiple of the f32 sublane tile (8).
+# window. MEASURED ON v5e AND LOSES BADLY (53 ms/frame vs 9.55 — the 64-row
+# kernel itself compiles to something pathological on this Mosaic
+# toolchain, independent of fallback cost): stays OFF; the knob remains for
+# re-measurement on future toolchains (TSDF_FUSE_BAND64=1).
 DEPTH_BAND_NARROW = 64
 USE_NARROW_BAND = os.environ.get("TSDF_FUSE_BAND64", "0") == "1"
 NAN_SENTINEL = 1e9
@@ -70,24 +69,27 @@ NAN_SENTINEL = 1e9
 
 
 
-def pad_depth(depth):
+def pad_depth(depth, window: bool = False):
     """Pad to [>=BAND_ROWS rows, multiple-of-128 cols] and replace NaN with
     the sentinel (out-of-image / missing pixels read back >= SENTINEL and are
-    rejected by the kernel's validity test)."""
+    rejected by the kernel's validity test). With `window`, one extra 128-col
+    sentinel block is appended so bricks touching the image's right edge
+    still fit a DEPTH_WINDOW_COLS window instead of falling back to XLA."""
     H, W = depth.shape
     Hp = max(BAND_ROWS, int(-(-H // 8) * 8))
-    Wp = int(-(-W // 128) * 128)
+    Wp = int(-(-W // 128) * 128) + (128 if window else 0)
     out = jnp.full((Hp, Wp), jnp.float32(NAN_SENTINEL))
     out = out.at[:H, :W].set(jnp.where(jnp.isnan(depth), NAN_SENTINEL, depth))
     return out
 
 
-def pack_rgb(rgb):
+def pack_rgb(rgb, window: bool = False):
     """[H, W, 3] 0..255 -> one padded f32 image r*65536+g*256+b (24-bit
-    exact); padding is 0 (those lanes are invalid in the kernel anyway)."""
+    exact); padding is 0 (those lanes are invalid in the kernel anyway).
+    `window` mirrors :func:`pad_depth`'s extra column block."""
     H, W = rgb.shape[:2]
     Hp = max(BAND_ROWS, int(-(-H // 8) * 8))
-    Wp = int(-(-W // 128) * 128)
+    Wp = int(-(-W // 128) * 128) + (128 if window else 0)
     r, g, b = (jnp.trunc(rgb[..., i].astype(jnp.float32)) for i in range(3))
     p = r * 65536.0 + g * 256.0 + b
     return jnp.zeros((Hp, Wp), jnp.float32).at[:H, :W].set(p)
@@ -107,8 +109,9 @@ def unpack_rgb(p):
 # XLA row gather/scatter around the batch entirely.
 # ---------------------------------------------------------------------------
 
-def _padded_width(cfg: TSDFConfig) -> int:
-    return int(-(-cfg.image_width // 128) * 128)
+def _padded_width(cfg: TSDFConfig, window: bool = False) -> int:
+    # must mirror pad_depth/pack_rgb column padding (extra block with window)
+    return int(-(-cfg.image_width // 128) * 128) + (128 if window else 0)
 
 
 def _padded_height(cfg: TSDFConfig) -> int:
@@ -187,7 +190,7 @@ def brick_meta(cfg: TSDFConfig, B: int, bx, by, bz, slot_ok, pose_inv,
         # in-image voxel u must land inside it. umin < 0 clips wi to 0 (u<0
         # voxels fail proj_ok); the top clip keeps the window inside the
         # padded image, which covers u >= 128*wi automatically.
-        nw = (_padded_width(cfg) - DEPTH_WINDOW_COLS) // 128 + 1
+        nw = (_padded_width(cfg, True) - DEPTH_WINDOW_COLS) // 128 + 1
         wi = jnp.clip(jnp.floor(umin).astype(jnp.int32) // 128, 0, nw - 1)
         fits &= umax < (wi * 128 + (DEPTH_WINDOW_COLS - 2)).astype(jnp.float32)
     ok = slot_ok & fits
@@ -289,19 +292,42 @@ def _kernel_inplace(cfg: TSDFConfig, B: int, W: int, n_coarse: int,
         WB = W
         dband = depth_ref[pl.ds(v0, band), :]                  # [band, W]
         band_rgb = rgb_ref[pl.ds(v0, band), :] if want_color else None
+
+    # Mosaic's f32 dot rounds each operand to bf16 (RN, 8 significant bits —
+    # measured: bench/window_debug showed looked-up depth == bf16(depth),
+    # a ~2^-9 relative quantization = 6 mm at 3 m, 20% of the default
+    # truncation band). The one-hot operand is exact in bf16, so splitting
+    # the band into three bf16-representable planes (their sum reconstructs
+    # f32 bit-exactly; 8+8+8 = 24 mantissa bits) makes the three dots
+    # collectively LOSSLESS.
+    bf = jnp.bfloat16
+    d_hi = dband.astype(bf).astype(f32)
+    r1 = dband - d_hi
+    d_md = r1.astype(bf).astype(f32)
+    d_lo = (r1 - d_md).astype(bf).astype(f32)
+    if want_color:
+        # packed 24-bit color (r*65536+g*256+b) fares even worse under bf16
+        # (g/b vanish); the per-channel planes are <= 255 = bf16-exact, so
+        # three dots select them losslessly and the f32 recombination is
+        # exact (<= 24 bits)
+        c_r = jnp.floor(band_rgb * (1.0 / 65536.0))
+        rem = band_rgb - c_r * 65536.0
+        c_g = jnp.floor(rem * (1.0 / 256.0))
+        c_b = rem - c_g * 256.0
     z_chunks = []
     p_chunks = []
     for c in range(S):
         u_c = u[c:c + 1, :] - ubase                            # [1, L]
         col_iota = jax.lax.broadcasted_iota(jnp.int32, (WB, L), 0)
         onehot = (col_iota == jnp.clip(u_c, 0, WB - 1)).astype(f32)  # [WB, L]
-        m1 = jnp.dot(dband, onehot, preferred_element_type=f32)      # [band, L]
+        dot = lambda a: jnp.dot(a, onehot, preferred_element_type=f32)
+        m1 = dot(d_hi) + dot(d_md) + dot(d_lo)                 # [band, L]
         vrel = jnp.clip(v[c:c + 1, :] - v0, 0, band - 1)
         row_iota = jax.lax.broadcasted_iota(jnp.int32, (band, L), 0)
         row_mask = (row_iota == vrel).astype(f32)
         z_chunks.append(jnp.sum(m1 * row_mask, axis=0, keepdims=True))
         if want_color:
-            m2 = jnp.dot(band_rgb, onehot, preferred_element_type=f32)
+            m2 = dot(c_r) * 65536.0 + dot(c_g) * 256.0 + dot(c_b)
             p_chunks.append(jnp.sum(m2 * row_mask, axis=0, keepdims=True))
     z_img = jnp.concatenate(z_chunks, axis=0)                  # [S, L]
 
