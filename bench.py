@@ -248,6 +248,36 @@ def main():
         jax.profiler.stop_trace()
         log("profiler trace written to .profile/")
 
+    # ---- on-chip engine parity: Pallas kernel vs the XLA gather engine ----
+    # Guards the bf16-matmul bug class (Mosaic's f32 dot rounds operands to
+    # bf16; the kernel's split lookups must stay bit-exact vs XLA — see
+    # ops/pallas_fusion.py round-4 notes). Colored config so the packed
+    # 24-bit color lookup is exercised too (g/b channels die under bf16).
+    if use_pallas:
+        try:
+            cfgc = cfg.with_updates(integrate_color=True, color_mode="RGB")
+            uu, vv = np.meshgrid(np.arange(cfgc.image_width),
+                                 np.arange(cfgc.image_height))
+            rgb = jnp.asarray(np.stack([uu % 256, vv % 256, (uu + vv) % 256],
+                                       -1).astype(np.float32))
+            outs = {}
+            for eng, use_p in (("kernel", True), ("xla", False)):
+                bvp = make_brick_volume(cfgc, 8, 1 << 13)
+                for _ in range(2):
+                    bvp = integrate_bricks(bvp, depth, pose, rgb, budget,
+                                           use_p, False)
+                outs[eng] = (np.asarray(bvp.sdf), np.asarray(bvp.weight),
+                             np.asarray(bvp.color))
+            dd = np.abs(outs["kernel"][0] - outs["xla"][0]).max()
+            wd = np.abs(outs["kernel"][1] - outs["xla"][1]).max()
+            cd = np.abs(outs["kernel"][2] - outs["xla"][2]).max()
+            ok_int = dd < 1e-6 and wd == 0.0 and cd < 1e-4
+            extra["integrate_parity_ok"] = bool(ok_int)
+            log(f"integrate engine parity (colored): max |d|={dd:.2e} "
+                f"|w|={wd:.2e} |rgb|={cd:.2e} -> {'OK' if ok_int else 'FAIL'}")
+        except Exception as e:
+            log(f"integrate parity check failed: {e!r}")
+
     # ---- raycast: Pallas march kernel, full-res render --------------------
     try:
         from cpu_tsdf_tpu.ops.pallas_raycast import (make_render_pack,

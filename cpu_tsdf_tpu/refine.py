@@ -22,7 +22,17 @@ import jax.numpy as jnp
 
 
 def exp_se3(twist):
-    """Exponential map se(3) -> SE(4x4). twist = (v[3], w[3])."""
+    """Exponential map se(3) -> SE(4x4). twist = (v[3], w[3]).
+
+    Matmul precision is pinned to f32: XLA's DEFAULT f32 matmul on TPU
+    computes in bf16 (measured 2.6e-3 error on a 3x3 product —
+    bench/window_debug round 4), which would corrupt rotations by ~0.1
+    degree per composition."""
+    with jax.default_matmul_precision("float32"):
+        return _exp_se3_inner(twist)
+
+
+def _exp_se3_inner(twist):
     v, w = twist[:3], twist[3:]
     theta = jnp.sqrt(jnp.sum(w * w) + 1e-20)
     K = jnp.array([
@@ -40,6 +50,12 @@ def exp_se3(twist):
     m = m.at[:3, :3].set(R)
     m = m.at[:3, 3].set(V @ v)
     return m
+
+
+def _compose(a, b):
+    """4x4 pose composition at f32 matmul precision (TPU DEFAULT is bf16)."""
+    with jax.default_matmul_precision("float32"):
+        return a @ b
 
 
 def depth_residual(vol, pose, depth_obs, downsample_by: int = 1,
@@ -90,8 +106,8 @@ def refine_pose_step(vol, pose, depth_obs, downsample_by: int = 1,
     (new_pose, loss). `lr` acts as the step scale (1.0 = full GN step) and
     its inverse as Levenberg damping."""
     def res_fn(twist):
-        r, valid = _alignment_residuals(vol, exp_se3(twist) @ pose, depth_obs,
-                                        downsample_by)
+        r, valid = _alignment_residuals(vol, _compose(exp_se3(twist), pose),
+                                        depth_obs, downsample_by)
         return jnp.where(valid, r, 0.0), valid
 
     twist0 = jnp.zeros(6)
@@ -99,15 +115,18 @@ def refine_pose_step(vol, pose, depth_obs, downsample_by: int = 1,
     # forward-mode: 6 jvp tangents (cheap for a 6-dim input, and avoids
     # rematerializing the residual graph 6x like jacrev would)
     J = jax.jacfwd(lambda t: res_fn(t)[0])(twist0)      # [N, 6]
-    JtJ = J.T @ J
-    Jtr = J.T @ r0
+    # f32 precision: the DEFAULT bf16 TPU matmul loses up to ~19% on
+    # small JtJ entries (measured), wrecking the GN step's conditioning
+    with jax.default_matmul_precision("float32"):
+        JtJ = J.T @ J
+        Jtr = J.T @ r0
     lam = (1.0 / jnp.maximum(lr, 1e-6) - 1.0) + 1e-3
     delta = -jnp.linalg.solve(JtJ + lam * jnp.trace(JtJ) / 6.0 * jnp.eye(6), Jtr)
     # trust region: cap the twist norm at 5 cm / 0.05 rad per step
     nrm = jnp.linalg.norm(delta)
     delta = jnp.where(nrm > 0.05, delta * (0.05 / nrm), delta)
     loss = jnp.sum(r0 * r0) / jnp.maximum(jnp.sum(valid), 1)
-    return exp_se3(delta) @ pose, loss
+    return _compose(exp_se3(delta), pose), loss
 
 
 _residual_jit = jax.jit(depth_residual, static_argnums=(3, 4))
