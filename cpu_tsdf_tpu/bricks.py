@@ -295,7 +295,8 @@ def integrate_bricks(vol: BrickVolume, depth, pose, rgb=None,
                      update_budget: int = 1 << 13, use_pallas: bool = False,
                      pallas_interpret: bool = False,
                      split_key=None, pallas_window: bool = None,
-                     pallas_band: int = None) -> BrickVolume:
+                     pallas_band: int = None,
+                     pallas_extra: int = None) -> BrickVolume:
     """Fuse one depth frame into the brick volume.
 
     update_budget bounds the number of bricks updated per frame (band bricks
@@ -305,8 +306,9 @@ def integrate_bricks(vol: BrickVolume, depth, pose, rgb=None,
     kernel looks up a 24-bit-packed color image alongside depth and emits
     per-brick aux observations; the mode-specific transform — RGB/
     RGBNormalized/LAB, octree.cpp:328-434 — runs in XLA on those K rows).
-    Bricks the kernel cannot handle (footprint taller than its depth band)
-    fall back to the XLA path.
+    Bricks whose footprint exceeds one kernel tile (near-camera bricks)
+    run as several disjoint-validity kernel passes — there is no XLA
+    fallback path.
 
     This wrapper stays OUTSIDE jit so pallas_window/pallas_band defaults
     (None -> the USE_DEPTH_WINDOW / USE_NARROW_BAND module flags) resolve at
@@ -320,16 +322,18 @@ def integrate_bricks(vol: BrickVolume, depth, pose, rgb=None,
     window = (pf.USE_DEPTH_WINDOW if pallas_window is None
               else bool(pallas_window))
     band = pf.resolve_band(pallas_band)
+    extra = (pf.EXTRA_PASS_BUDGET if pallas_extra is None
+             else int(pallas_extra))
     return _integrate_bricks_jit(vol, depth, pose, rgb, split_key,
                                  int(update_budget), bool(use_pallas),
-                                 bool(pallas_interpret), window, band)
+                                 bool(pallas_interpret), window, band, extra)
 
 
-@partial(jax.jit, static_argnums=(5, 6, 7, 8, 9), donate_argnums=(0,))
+@partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10), donate_argnums=(0,))
 def _integrate_bricks_jit(vol: BrickVolume, depth, pose, rgb, split_key,
                           update_budget: int, use_pallas: bool,
                           pallas_interpret: bool, pallas_window: bool,
-                          pallas_band: int) -> BrickVolume:
+                          pallas_band: int, pallas_extra: int) -> BrickVolume:
     from .activation import (_compact, band_candidate_bricks,
                              carve_candidate_slots, depth_mips)
 
@@ -381,21 +385,22 @@ def _integrate_bricks_jit(vol: BrickVolume, depth, pose, rgb, split_key,
     slot_ok = jnp.concatenate([slot_ok, carve_ok])
     slots = jnp.concatenate([slots, cs_safe])
 
-    new_sdf, new_w, new_M, new_n, new_color = fuse_brick_batch(
+    new_sdf, new_w, new_M, new_n, new_color, xovf = fuse_brick_batch(
         cfg, B, bx, by, bz, slot_ok, slots,
         vol.sdf, vol.weight, vol.M, vol.nsample, vol.color,
         depth, pose_inv, rgb, use_pallas, pallas_interpret, pallas_window,
-        pallas_band)
+        pallas_band, pallas_extra)
     return dataclasses.replace(
         vol, sdf=new_sdf, weight=new_w, M=new_M, nsample=new_n,
-        color=new_color, overflowed=vol.overflowed | overflow)
+        color=new_color, overflowed=vol.overflowed | overflow | xovf)
 
 
 def fuse_brick_batch(cfg: TSDFConfig, B: int, bx, by, bz, slot_ok, slots,
                      sdf, weight, M, nsample, color, depth, pose_inv,
                      rgb=None, use_pallas: bool = False,
                      pallas_interpret: bool = False,
-                     pallas_window: bool = None, pallas_band: int = None):
+                     pallas_window: bool = None, pallas_band: int = None,
+                     pallas_extra: int = None):
     """Fuse one frame's budgeted brick batch into [C, B, B, B] SoA arrays.
 
     The shared per-batch update behind both the single-device volume
@@ -404,12 +409,12 @@ def fuse_brick_batch(cfg: TSDFConfig, B: int, bx, by, bz, slot_ok, slots,
     LOCAL slot partition and `slots` are local row ids). bx/by/bz are GLOBAL
     brick-grid coords [K] (they fix world positions); rows with slot_ok False
     are dumped. With use_pallas, row C-1 must be a reserved never-allocated
-    dump row. Returns (sdf, weight, M, nsample, color) updated.
+    dump row. Returns (sdf, weight, M, nsample, color, pass_overflow);
+    pass_overflow is True when a frame needed more multipass kernel rows
+    than EXTRA_PASS_BUDGET (results for the dropped passes are missing).
     """
     from .ops import color as color_ops
     from .ops.fusion import compute_observation
-
-    FB_BUDGET = 256  # XLA-fallback rows compacted per frame (near-camera bricks)
 
     if rgb is not None:
         # trunc mirrors the reference's uint8 color observations and keeps
@@ -484,13 +489,23 @@ def fuse_brick_batch(cfg: TSDFConfig, B: int, bx, by, bz, slot_ok, slots,
         band = pf.resolve_band(pallas_band)
         K = bx.shape[0]
         V = B * B * B
-        meta, kernel_ok = brick_meta(cfg, B, bx, by, bz, slot_ok, pose_inv,
-                                     window, band)
-        # slot column: inactive/oversize bricks write to the reserved dump row
-        # C-1 (never allocated — see _allocate), reading/writing it unchanged
-        kern_slot = jnp.where(slot_ok & kernel_ok, slots, C - 1).astype(jnp.int32)
-        meta = meta.at[:, 4].set((slot_ok & kernel_ok).astype(jnp.int32))
+        # EVERY brick runs through the kernel: bricks whose footprint spans
+        # several (band x window) tiles get one kernel pass per tile (the
+        # first in their main meta row, the rest via expand_extra_meta),
+        # with disjoint per-pass validity — there is no XLA fallback path.
+        meta, kernel_ok, tiles = brick_meta(cfg, B, bx, by, bz, slot_ok,
+                                            pose_inv, window, band,
+                                            multipass=True)
+        # slot column: inactive/out-of-sensor-range bricks write to the
+        # reserved dump row C-1 (never allocated — see _allocate)
+        row_ok = slot_ok & kernel_ok
+        kern_slot = jnp.where(row_ok, slots, C - 1).astype(jnp.int32)
+        meta = meta.at[:, 4].set(row_ok.astype(jnp.int32))
         meta = meta.at[:, 5].set(kern_slot)
+        meta_extra, xsrc, n_extra = pf.expand_extra_meta(
+            cfg, C, meta, kern_slot, row_ok, tiles, window, band,
+            budget=pallas_extra)
+        pass_overflow = n_extra > meta_extra.shape[0]
         wact = pf._window_active(cfg, window)
         depth_c = pad_depth(depth, wact)
         pose_flat = pose_inv[:3, :].reshape(1, 12)
@@ -501,7 +516,7 @@ def fuse_brick_batch(cfg: TSDFConfig, B: int, bx, by, bz, slot_ok, slots,
             M.reshape(C, V), nsample.reshape(C, V),
             pallas_interpret, depth=depth_c,
             rgb_packed=pack_rgb(rgb, wact) if color_active else None,
-            window=window, band=band)
+            window=window, band=band, meta_extra=meta_extra)
         d1f, w1f, M1f, n1f = out[:4]
         shape4 = (C, B, B, B)
         new_sdf = d1f.reshape(shape4)
@@ -512,64 +527,34 @@ def fuse_brick_batch(cfg: TSDFConfig, B: int, bx, by, bz, slot_ok, slots,
         new_color = color
         if color_active:
             # color transform in XLA over the kernel's aux observations
-            # (K rows — no image gathers anywhere)
+            # (K rows — no image gathers anywhere). Multipass bricks emit
+            # one aux row per pass with DISJOINT validity; fold the extra
+            # rows into their source row with scatter-max (invalid = -1 on
+            # both channels, at most one pass valid per voxel, so max is
+            # exact and duplicate-source-safe).
             rgbp, weff = out[4], out[5]
+            rgbp_x, weff_x = out[6], out[7]
+            rgbp = jnp.where(weff >= 0, rgbp, -1.0)
+            rgbp_x = jnp.where(weff_x >= 0, rgbp_x, -1.0)
+            rgbp, weff = jax.lax.cond(
+                n_extra > 0,
+                lambda m, w: (m.at[xsrc].max(rgbp_x, mode="drop"),
+                              w.at[xsrc].max(weff_x, mode="drop")),
+                lambda m, w: (m, w), rgbp, weff)
             k4 = (K, B, B, B)
             rr, gg, bb = unpack_rgb(rgbp.reshape(k4))
             weff = weff.reshape(k4)
-            cvalid = (weff >= 0) & (slot_ok & kernel_ok)[:, None, None, None]
+            cvalid = (weff >= 0) & row_ok[:, None, None, None]
             c0 = jnp.take(color, slots_c, axis=0)
             w0 = g(weight)  # PRE-update weights (the kernel updated in place
             # via aliasing, but `weight` still names the pre-update buffer)
             cu = color_ops.update_color(cfg.color_mode, c0, w0, rr, gg, bb,
                                         jnp.maximum(weff, 0.0))
             cu = jnp.where(cvalid[..., None], cu, c0)
-            col_slots = jnp.where(slot_ok & kernel_ok, slots, C)  # C -> dropped
+            col_slots = jnp.where(row_ok, slots, C)  # C -> dropped
             new_color = color.at[col_slots].set(cu, mode="drop")
 
-        # fallback rows (footprint taller than the kernel's depth band /
-        # wider than the column window): the kernel routed them to the dump
-        # row, so the post-kernel arrays still hold their PRE-update state —
-        # run the exact XLA engine on just those rows via a recursive call.
-        # The common case (few near-camera bricks) compacts them into a
-        # small fixed budget; only a pathological frame (> FB_BUDGET such
-        # bricks) pays the full-batch XLA update that used to run whenever
-        # ANY brick fell back (54 ms/frame vs 10 ms, bench/window_probe r4).
-        fb_mask = slot_ok & ~kernel_ok
-        need_fb = jnp.any(fb_mask)
-        n_fb = jnp.sum(fb_mask)
-
-        def run_fb(state, bxi, byi, bzi, ok_rows, slots_rows):
-            res = fuse_brick_batch(
-                cfg, B, bxi, byi, bzi, ok_rows, slots_rows,
-                state[0], state[1], state[2], state[3],
-                state[4] if color_active else None,
-                depth, pose_inv, rgb=rgb, use_pallas=False)
-            return res if color_active else res[:4]
-
-        def subset_fb(state):
-            rank = jnp.cumsum(fb_mask) - 1
-            idx = jnp.zeros((FB_BUDGET,), jnp.int32).at[
-                jnp.where(fb_mask, rank, FB_BUDGET)].set(
-                jnp.arange(K, dtype=jnp.int32), mode="drop")
-            ok_rows = jnp.arange(FB_BUDGET) < n_fb
-            return run_fb(state, bx[idx], by[idx], bz[idx], ok_rows,
-                          slots[idx])
-
-        def full_fb(state):
-            return run_fb(state, bx, by, bz, fb_mask, slots)
-
-        state = (new_sdf, new_w, new_M, new_n)
-        if color_active:
-            state += (new_color,)
-        state = jax.lax.cond(
-            need_fb,
-            lambda s: jax.lax.cond(n_fb <= FB_BUDGET, subset_fb, full_fb, s),
-            lambda s: s, state)
-        if color_active:
-            new_color = state[4]
-        new_sdf, new_w, new_M, new_n = state[:4]
-        return new_sdf, new_w, new_M, new_n, new_color
+        return new_sdf, new_w, new_M, new_n, new_color, pass_overflow
 
     d1, w1, M1, n1, valid, w0, w_eff, u, v = xla_update()
     new_color = color
@@ -587,7 +572,8 @@ def fuse_brick_batch(cfg: TSDFConfig, B: int, bx, by, bz, slot_ok, slots,
     def s(a, upd):
         return a.at[slots].set(upd, mode="drop")
 
-    return s(sdf, d1), s(weight, w1), s(M, M1), s(nsample, n1), new_color
+    return (s(sdf, d1), s(weight, w1), s(M, M1), s(nsample, n1), new_color,
+            jnp.zeros((), bool))
 
 
 def _gather_img(img, v, u):

@@ -21,8 +21,12 @@ Batch layout: one brick per grid step at block [1, 4, B^3/4]; brick data
 rows are fetched/written BY SLOT ID through a scalar-prefetch-driven
 index_map with input/output aliasing, so untouched rows carry over for free
 (no XLA row gather/scatter around the batch). Bricks whose image footprint
-exceeds the 128-row band (extremely close to the camera) are flagged and
-handled by the XLA fallback in cpu_tsdf_tpu.bricks.
+exceeds one (band x window) tile (extremely close to the camera) run as
+SEVERAL kernel passes — one per fixed tile of the image, each pass's
+validity masked to its tile (meta col 7), continuation passes reading the
+accumulated state from the resident OUT block. The former XLA fallback
+cond is gone: its branches forced ~1.4 ms/frame of full-volume layout
+copies around the kernel chain (bench/integrate_trace, round 4).
 
 Color configs (octree.cpp:328-434 fuses color inside the same addObservation
 as SDF): the three RGB channels are packed into ONE f32 image
@@ -64,6 +68,11 @@ USE_DEPTH_WINDOW = os.environ.get("TSDF_FUSE_WINDOW", "1") == "1"
 # re-measurement on future toolchains (TSDF_FUSE_BAND64=1).
 DEPTH_BAND_NARROW = 64
 USE_NARROW_BAND = os.environ.get("TSDF_FUSE_BAND64", "0") == "1"
+# Multi-pass budget: bricks whose footprint exceeds one (band x window) tile
+# run as SEVERAL kernel passes (one per tile, disjoint validity); this is the
+# static number of extra pass rows per frame. Exceeding it (pathological
+# near-camera frames) raises `overflowed`, never drops silently.
+EXTRA_PASS_BUDGET = int(os.environ.get("TSDF_FUSE_EXTRA", "512"))
 NAN_SENTINEL = 1e9
 
 
@@ -134,16 +143,31 @@ def resolve_band(pallas_band) -> int:
 
 
 def brick_meta(cfg: TSDFConfig, B: int, bx, by, bz, slot_ok, pose_inv,
-               window: bool = False, band: int = BAND_ROWS):
+               window: bool = False, band: int = BAND_ROWS,
+               multipass: bool = False):
     """Per-brick kernel metadata: voxel base coords, depth band row origin,
     the footprint-fits flag, and (with `window`) the depth column-window
     index. Pure elementwise JAX. `band` is the kernel's depth-band height
-    (rows); footprints taller than it are flagged for the XLA fallback.
+    (rows).
 
     Corner projections bound every interior voxel's pixel coordinate:
     u = (fx·px + cx·pz)/pz is linear-fractional in the voxel position, so
     its extrema over the brick box lie at the 8 corners whenever zmin > 0
-    (which `fits` requires)."""
+    (which `fits` requires).
+
+    multipass=False (legacy/probe mode): footprints that don't fit one
+    (band x window) tile are flagged NOT-ok; returns (meta, ok).
+
+    multipass=True: EVERY brick with potentially-in-range voxels runs in the
+    kernel — fitting bricks as today (one anchored pass), oversize or
+    camera-plane-straddling bricks as one pass per fixed (band x window)
+    tile of the image; each pass's validity is masked to its tile (meta
+    col 7 packs the mask origins), so passes are disjoint and their
+    accumulation is exact. The FIRST tile is this meta's row; the caller
+    builds the remaining passes via :func:`expand_extra_meta`. Returns
+    (meta, ok, (n_tiles, rt0, ct0, nct)) where ok = slot_ok minus bricks
+    whose camera-z range proves no voxel can be in the sensor range
+    (z is linear in position, so corner extrema bound all voxels)."""
     from ..geometry import transform_points
 
     base_x, base_y, base_z = bx * B, by * B, bz * B
@@ -153,6 +177,7 @@ def brick_meta(cfg: TSDFConfig, B: int, bx, by, bz, slot_ok, pose_inv,
     umin = jnp.full(bx.shape, jnp.inf, jnp.float32)
     umax = jnp.full(bx.shape, -jnp.inf, jnp.float32)
     zmin = jnp.full(bx.shape, jnp.inf, jnp.float32)
+    zmax = jnp.full(bx.shape, -jnp.inf, jnp.float32)
     for dx in (0, 1):
         for dy in (0, 1):
             for dz in (0, 1):
@@ -168,10 +193,11 @@ def brick_meta(cfg: TSDFConfig, B: int, bx, by, bz, slot_ok, pose_inv,
                 umin = jnp.minimum(umin, uf)
                 umax = jnp.maximum(umax, uf)
                 zmin = jnp.minimum(zmin, pz)
+                zmax = jnp.maximum(zmax, pz)
     rows_needed = vmax - jnp.maximum(vmin, 0.0)
-    # Bricks straddling the camera plane (zmin <= 0) or taller than the band
-    # fall back to the XLA path; bricks fully behind/outside still run through
-    # the kernel (their voxels simply fail proj_ok).
+    # Footprints straddling the camera plane (zmin <= 0) or taller than the
+    # band can't be bounded by one tile; bricks fully behind/outside still
+    # run through the kernel (their voxels simply fail proj_ok).
     # band start is aligned DOWN to a multiple of 8 (Mosaic sublane tiling),
     # so the usable band shrinks by up to 7 rows
     fits = (rows_needed < band - 10) & (zmin > 0)
@@ -185,7 +211,8 @@ def brick_meta(cfg: TSDFConfig, B: int, bx, by, bz, slot_ok, pose_inv,
     v0 = jnp.clip(jnp.floor(vmin).astype(jnp.int32) - 1, 0, max(Hp - band, 0))
     v0 = (v0 // 8) * 8
     wi = jnp.zeros_like(base_x)
-    if _window_active(cfg, window):
+    wact = _window_active(cfg, window)
+    if wact:
         # depth column window [128*wi, 128*wi + DEPTH_WINDOW_COLS): every
         # in-image voxel u must land inside it. umin < 0 clips wi to 0 (u<0
         # voxels fail proj_ok); the top clip keeps the window inside the
@@ -193,11 +220,138 @@ def brick_meta(cfg: TSDFConfig, B: int, bx, by, bz, slot_ok, pose_inv,
         nw = (_padded_width(cfg, True) - DEPTH_WINDOW_COLS) // 128 + 1
         wi = jnp.clip(jnp.floor(umin).astype(jnp.int32) // 128, 0, nw - 1)
         fits &= umax < (wi * 128 + (DEPTH_WINDOW_COLS - 2)).astype(jnp.float32)
-    ok = slot_ok & fits
     zero = jnp.zeros_like(base_x)
-    meta = jnp.stack([base_x, base_y, base_z, v0 // 8, ok.astype(jnp.int32),
-                      zero, wi, zero], -1).astype(jnp.int32)
-    return meta, ok
+    if not multipass:
+        ok = slot_ok & fits
+        meta = jnp.stack([base_x, base_y, base_z, v0 // 8,
+                          ok.astype(jnp.int32), zero, wi,
+                          (v0 // 8) + (wi << MASK_U_SHIFT)], -1
+                         ).astype(jnp.int32)
+        return meta, ok
+    # ---- multipass: tile rect per brick --------------------------------
+    # z is LINEAR in the voxel position, so [zmin, zmax] over the corners
+    # bounds every voxel's camera depth: a brick entirely outside the
+    # sensor range can't receive any valid observation -> identity update.
+    reject = ((zmax < cfg.min_sensor_dist) | (zmin > cfg.max_sensor_dist))
+    ok = slot_ok & ~reject
+    RT, CT, WB, Wp = _tile_grid(cfg, window, band)
+    # corner-derived pixel rect is only a valid bound when zmin > 0;
+    # camera-plane straddlers cover the full tile grid.
+    cb = zmin > 1e-6
+    vlo = jnp.clip(jnp.floor(vmin).astype(jnp.int32), 0, cfg.image_height - 1)
+    vhi = jnp.clip(jnp.floor(vmax).astype(jnp.int32), 0, cfg.image_height - 1)
+    rt0 = jnp.where(cb, vlo // band, 0)
+    rt1 = jnp.where(cb, vhi // band, RT - 1)
+    if wact:
+        ulo = jnp.clip(jnp.floor(umin).astype(jnp.int32), 0, cfg.image_width - 1)
+        uhi = jnp.clip(jnp.floor(umax).astype(jnp.int32), 0, cfg.image_width - 1)
+        ct0 = jnp.where(cb, ulo // WB, 0)
+        ct1 = jnp.where(cb, uhi // WB, CT - 1)
+    else:
+        ct0 = zero
+        ct1 = zero
+    nct = ct1 - ct0 + 1
+    n_tiles = jnp.where(ok & ~fits, (rt1 - rt0 + 1) * nct, 1)
+    # main row = anchored single pass (fits) or the first tile (multipass)
+    v0_m = jnp.where(fits, v0, jnp.minimum(rt0 * band, Hp - band))
+    mv8 = jnp.where(fits, v0 // 8, rt0 * (band // 8))
+    if wact:
+        u0_m = jnp.where(fits, wi,
+                         jnp.minimum(ct0 * (WB // 128), (Wp - WB) // 128))
+        mu = jnp.where(fits, wi, ct0 * (WB // 128))
+    else:
+        u0_m, mu = wi, zero
+    meta = jnp.stack([base_x, base_y, base_z, v0_m // 8,
+                      ok.astype(jnp.int32), zero, u0_m,
+                      mv8 + (mu << MASK_U_SHIFT)], -1).astype(jnp.int32)
+    return meta, ok, (n_tiles, rt0, ct0, nct)
+
+
+# meta col 7 packing: bits [0, MASK_U_SHIFT) = mask row origin / 8,
+# bits [MASK_U_SHIFT, CONT_SHIFT) = mask col origin / 128, bit CONT_SHIFT =
+# continuation pass (read state from the resident OUT block, not the input)
+MASK_U_SHIFT = 12
+CONT_SHIFT = 18
+
+
+def _tile_grid(cfg: TSDFConfig, window: bool, band: int):
+    """(RT, CT, WB, Wp): fixed tile grid of the padded image for multipass —
+    row tiles at multiples of `band`, column tiles at multiples of the
+    window width (1 column tile when windowing is off)."""
+    Hp = _padded_height(cfg)
+    Wp = _padded_width(cfg, window)
+    RT = -(-Hp // band)
+    if _window_active(cfg, window):
+        WB = DEPTH_WINDOW_COLS
+        CT = -(-Wp // WB)
+    else:
+        WB = Wp
+        CT = 1
+    return RT, CT, WB, Wp
+
+
+def expand_extra_meta(cfg: TSDFConfig, C: int, meta, kern_slot, ok, tiles,
+                      window: bool, band: int,
+                      budget: int = None):
+    """Pass rows 1..n-1 for every multipass brick, grouped per brick.
+
+    meta/kern_slot/ok: the main-call rows from :func:`brick_meta`
+    (multipass=True). tiles = (n_tiles, rt0, ct0, nct). Returns
+    (meta_extra [E, 8], src [E] int32 — the source row in the main batch
+    for aux merging, K for dead rows —, n_extra_total).
+
+    Rows are ordered brick-major, so all passes of one brick are
+    CONSECUTIVE grid steps in the extra kernel call: the first pass row of
+    a brick reads state from HBM (updated by the main call), continuation
+    rows read the slot block still resident in VMEM (cont bit in col 7).
+    Dead rows (beyond the live total) trail the list and route to the dump
+    row C-1."""
+    n_tiles, rt0, ct0, nct = tiles
+    E = EXTRA_PASS_BUDGET if budget is None else int(budget)
+    K = meta.shape[0]
+    n_extra = jnp.where(ok, n_tiles - 1, 0)
+    off = jnp.cumsum(n_extra) - n_extra                       # exclusive
+    total = off[-1] + n_extra[-1]
+    r = jnp.arange(E, dtype=jnp.int32)
+    le = off[None, :] <= r[:, None]                           # [E, K]
+    blk = jnp.maximum(jnp.sum(le.astype(jnp.int32), axis=1) - 1, 0)
+    # off[blk] gather-free (off non-decreasing, same trick as the MC
+    # compaction); empty ranges share their successor's offset, so the
+    # "last index with off <= r" lands on the covering brick
+    off_r = jnp.max(jnp.where(le, off[None, :], 0), axis=1)
+    p = r - off_r + 1                                         # pass index >= 1
+    valid = r < total
+
+    def g(a):
+        return jnp.take(a, blk, axis=0)
+
+    RT, CT, WB, Wp = _tile_grid(cfg, window, band)
+    Hp = _padded_height(cfg)
+    rt = g(rt0) + p // g(nct)
+    ct = g(ct0) + p % g(nct)
+    # slice origins clamped to the padded image so even dead rows carry
+    # safe dynamic-slice starts; mask origins stay at the unclamped tile
+    # (disjointness), which the clamped slice always covers
+    rt = jnp.clip(rt, 0, RT - 1)   # dead rows can carry garbage p: keep the
+    ct = jnp.clip(ct, 0, CT - 1)   # packed fields in their static bit ranges
+    v0 = jnp.clip(rt * band, 0, max(Hp - band, 0))
+    mv8 = rt * (band // 8)
+    if _window_active(cfg, window):
+        u0 = jnp.clip(ct * (WB // 128), 0, (Wp - WB) // 128)
+        mu = ct * (WB // 128)
+    else:
+        u0 = jnp.zeros_like(rt)
+        mu = jnp.zeros_like(rt)
+    ok_e = valid & g(ok)
+    cont = (p >= 2) & ok_e
+    slot_e = jnp.where(ok_e, g(kern_slot), C - 1)
+    meta_x = jnp.stack(
+        [g(meta[:, 0]), g(meta[:, 1]), g(meta[:, 2]), v0 // 8,
+         ok_e.astype(jnp.int32), slot_e, u0,
+         mv8 + (mu << MASK_U_SHIFT)
+         + (cont.astype(jnp.int32) << CONT_SHIFT)], -1).astype(jnp.int32)
+    src = jnp.where(ok_e, blk, K)
+    return meta_x, src, total
 
 
 # Scalar-prefetch metadata lives in SMEM; more than ~1024 bricks of it per
@@ -207,7 +361,7 @@ MAX_BRICKS_PER_CALL = 1024
 
 
 def _kernel_inplace(cfg: TSDFConfig, B: int, W: int, n_coarse: int,
-                    want_color: bool, window: bool, band: int,
+                    want_color: bool, window: bool, band: int, multi: bool,
                     meta_ref, pose_ref, depth_ref, *refs):
     """One grid step = one brick at block [1, 4, V/4]; slot-indexed blocks.
 
@@ -216,7 +370,14 @@ def _kernel_inplace(cfg: TSDFConfig, B: int, W: int, n_coarse: int,
     where rgb is the packed color image, rgbp/weff are per-batch-brick aux
     outputs (block [1, S, L] at grid index k). With `window` the depth (and
     rgb) band is additionally column-sliced to the brick's
-    DEPTH_WINDOW_COLS-wide window (meta col 6)."""
+    DEPTH_WINDOW_COLS-wide window (meta col 6).
+
+    Validity is masked to the pass tile packed in meta col 7 (a no-op for
+    anchored single-pass bricks, whose mask equals their band/window; exact
+    disjoint coverage for multipass tiles). With `multi` (the extra-pass
+    call), rows flagged cont read their state from the OUT block — still
+    resident in VMEM, because a brick's passes are consecutive grid steps —
+    so pass n accumulates on pass n-1 within the call."""
     import math as _math
 
     if want_color:
@@ -235,6 +396,9 @@ def _kernel_inplace(cfg: TSDFConfig, B: int, W: int, n_coarse: int,
     base_z = meta_ref[k, 2]
     v0 = pl.multiple_of(meta_ref[k, 3] * 8, 8)
     ok_brick = meta_ref[k, 4]
+    q7 = meta_ref[k, 7]
+    mask_v0 = (q7 & ((1 << MASK_U_SHIFT) - 1)) * 8
+    mask_u0 = ((q7 >> MASK_U_SHIFT) & ((1 << (CONT_SHIFT - MASK_U_SHIFT)) - 1)) * 128
 
     vid = (jax.lax.broadcasted_iota(jnp.int32, (S, L), 0) * L
            + jax.lax.broadcasted_iota(jnp.int32, (S, L), 1))
@@ -333,6 +497,12 @@ def _kernel_inplace(cfg: TSDFConfig, B: int, W: int, n_coarse: int,
 
     valid = (in_range & proj_ok & (z_img < NAN_SENTINEL / 2)
              & (ok_brick > 0) & frustum)
+    # pass-tile mask: exact disjointness across a multipass brick's rows
+    # (a no-op for anchored rows — their footprint fits the mask by
+    # construction). Column mask only when windowing splits columns.
+    valid &= (v >= mask_v0) & (v < mask_v0 + band)
+    if window:
+        valid &= (u >= mask_u0) & (u < mask_u0 + DEPTH_WINDOW_COLS)
     d_new = z_img - vz
     valid &= d_new >= -cfg.max_dist_neg
     d_new = jnp.minimum(d_new, cfg.max_dist_pos) / cfg.max_dist_neg
@@ -341,10 +511,20 @@ def _kernel_inplace(cfg: TSDFConfig, B: int, W: int, n_coarse: int,
     if cfg.weight_by_depth:
         w_new = w_new * (1.0 - jnp.minimum(z_img / 10.0, 1.0))
 
-    d0 = d0_ref[0]
-    w0 = w0_ref[0]
-    M0 = M0_ref[0]
-    n0 = n0_ref[0]
+    if multi:
+        # continuation pass: the slot's OUT block holds the previous pass's
+        # accumulated state and is still resident (consecutive same-slot
+        # grid steps); first-visit rows read the (aliased) HBM input
+        cont = (q7 >> CONT_SHIFT) > 0
+        d0 = jnp.where(cont, d1_ref[0], d0_ref[0])
+        w0 = jnp.where(cont, w1_ref[0], w0_ref[0])
+        M0 = jnp.where(cont, M1_ref[0], M0_ref[0])
+        n0 = jnp.where(cont, n1_ref[0], n0_ref[0])
+    else:
+        d0 = d0_ref[0]
+        w0 = w0_ref[0]
+        M0 = M0_ref[0]
+        n0 = n0_ref[0]
 
     if cfg.weight_by_variance:
         # reference getVariance's n/(n-1) factor is INT division == 1 for
@@ -380,18 +560,25 @@ def _kernel_inplace(cfg: TSDFConfig, B: int, W: int, n_coarse: int,
 def fuse_bricks_inplace(cfg: TSDFConfig, B: int, meta, pose_inv_flat, sdf,
                         weight, M, nsample, interpret: bool = False, depth=None,
                         rgb_packed=None, window: bool = False,
-                        band: int = BAND_ROWS):
+                        band: int = BAND_ROWS, meta_extra=None):
     """In-place brick fusion over the FULL volume arrays.
 
-    meta: [K, 8] int32 (base_x/y/z, v0/8, ok, slot, 0, 0) — slot indexes the
-    brick data row each grid step reads AND writes (the framework reserves
-    the last row as a write-off dump for inactive steps). Volume arrays are
-    [C, B^3]-shaped (reshaped internally to [C, 4, B^3/4] for Mosaic tiling)
-    and donated; outputs alias them, so untouched rows carry over for free.
+    meta: [K, 8] int32 (base_x/y/z, v0/8, ok, slot, u0/128, mask) — slot
+    indexes the brick data row each grid step reads AND writes (the
+    framework reserves the last row as a write-off dump for inactive
+    steps). Volume arrays are [C, B^3]-shaped (reshaped internally to
+    [C, 4, B^3/4] for Mosaic tiling) and donated; outputs alias them, so
+    untouched rows carry over for free.
+
+    meta_extra ([E, 8], :func:`expand_extra_meta`): continuation passes for
+    bricks whose footprint spans several (band x window) tiles, run as ONE
+    additional kernel call AFTER the main chunks (the call boundary makes
+    the main call's writes visible to the extra call's first-visit reads).
 
     With rgb_packed (see :func:`pack_rgb`) the return gains two [K, B^3] aux
     arrays: the packed color observation per voxel and the effective fused
-    weight (negative = invalid), for the caller's XLA color transform.
+    weight (negative = invalid), for the caller's XLA color transform —
+    plus two [E, B^3] arrays for the extra passes when meta_extra is given.
     """
     K = meta.shape[0]
     V = B * B * B
@@ -401,9 +588,11 @@ def fuse_bricks_inplace(cfg: TSDFConfig, B: int, meta, pose_inv_flat, sdf,
     n_coarse = 1 << cfg.num_coarse_levels
     want_color = rgb_packed is not None
     kern = partial(_kernel_inplace, cfg, B, W, n_coarse, want_color,
-                   _window_active(cfg, window), band)
+                   _window_active(cfg, window), band, False)
+    kern_multi = partial(_kernel_inplace, cfg, B, W, n_coarse, want_color,
+                         _window_active(cfg, window), band, True)
 
-    def run_chunk(meta_c, arrays):
+    def run_chunk(meta_c, arrays, kern=kern):
         sdf_, w_, M_, n_ = arrays
         KC = meta_c.shape[0]
         slot_spec = pl.BlockSpec((1, S, L), lambda k, m: (m[k, 5], 0, 0),
@@ -458,9 +647,29 @@ def fuse_bricks_inplace(cfg: TSDFConfig, B: int, meta, pose_inv_flat, sdf,
                                    lambda a, m=mc: run_chunk(m, a),
                                    skip_chunk, arrays)
         aux_parts.append(aux)
+
+    aux_x = ()
+    if meta_extra is not None:
+        E = meta_extra.shape[0]
+        assert E <= MAX_BRICKS_PER_CALL, E
+
+        def skip_extra(a):
+            z0 = 0.0 * a[0][0, 0, 0]
+            aux = ((jnp.zeros((E, S, L)) + z0, jnp.full((E, S, L), -1.0) + z0)
+                   if want_color else ())
+            return a, aux
+
+        arrays, aux_x = jax.lax.cond(
+            jnp.any(meta_extra[:, 4] > 0),
+            lambda a: run_chunk(meta_extra, a, kern_multi),
+            skip_extra, arrays)
     state = tuple(a.reshape(C, V) for a in arrays)
     if not want_color:
         return state
     rgbp = jnp.concatenate([p[0] for p in aux_parts], 0).reshape(K, V)
     weff = jnp.concatenate([p[1] for p in aux_parts], 0).reshape(K, V)
-    return state + (rgbp, weff)
+    out = state + (rgbp, weff)
+    if meta_extra is not None:
+        E = meta_extra.shape[0]
+        out += (aux_x[0].reshape(E, V), aux_x[1].reshape(E, V))
+    return out

@@ -73,11 +73,11 @@ def make_sharded_brick_volume(cfg: TSDFConfig, mesh: Mesh, brick_size: int = 8,
     )
 
 
-@partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9), donate_argnums=(0,))
+@partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10), donate_argnums=(0,))
 def _integrate_sharded_jit(bv: BrickVolume, depth, rgb, pose,
                            budget_local: int, mesh: Mesh, use_pallas: bool,
                            pallas_interpret: bool, pallas_window: bool,
-                           pallas_band: int) -> BrickVolume:
+                           pallas_band: int, pallas_extra: int) -> BrickVolume:
     cfg = bv.config
     B = bv.brick_size
     D = int(mesh.shape[AXIS])  # slab count = the shard axis extent
@@ -170,11 +170,13 @@ def _integrate_sharded_jit(bv: BrickVolume, depth, rgb, pose,
 
         # ---- the SAME batched update as the single-device path (including
         # the Pallas kernel and color), over the local slot partition ----
-        sdf_l, w_l, M_l, n_l, col_l = fuse_brick_batch(
+        sdf_l, w_l, M_l, n_l, col_l, xovf = fuse_brick_batch(
             cfg, B, bx, by, bz, slot_ok, lslots,
             sdf_l, w_l, M_l, n_l, col_l, depth_r, pose_inv_r, rgb_r,
-            use_pallas, pallas_interpret, pallas_window, pallas_band)
+            use_pallas, pallas_interpret, pallas_window, pallas_band,
+            pallas_extra)
 
+        overflow |= xovf
         ovf = ovf | (jax.lax.pmax(overflow.astype(jnp.int32), AXIS) > 0)
         res = (brick_map_l, n_act[None], coords_l, sdf_l, w_l, M_l, n_l)
         if has_color:
@@ -215,7 +217,8 @@ def integrate_bricks_sharded(bv: BrickVolume, depth, pose, mesh: Mesh,
                              pallas_interpret: bool = False,
                              budget_per_device: int = None,
                              pallas_window: bool = None,
-                             pallas_band: int = None) -> BrickVolume:
+                             pallas_band: int = None,
+                             pallas_extra: int = None) -> BrickVolume:
     """Fuse one frame into a slab-sharded brick volume (zero collectives).
 
     With use_pallas the per-voxel update runs in the Pallas fusion kernel
@@ -247,11 +250,13 @@ def integrate_bricks_sharded(bv: BrickVolume, depth, pose, mesh: Mesh,
 
     window = pf.USE_DEPTH_WINDOW if pallas_window is None else bool(pallas_window)
     band = pf.resolve_band(pallas_band)
+    extra = (pf.EXTRA_PASS_BUDGET if pallas_extra is None
+             else int(pallas_extra))
     return _integrate_sharded_jit(bv, jnp.asarray(depth),
                                   None if rgb is None else jnp.asarray(rgb),
                                   jnp.asarray(pose, jnp.float32),
                                   budget_per_device, mesh, use_pallas,
-                                  pallas_interpret, window, band)
+                                  pallas_interpret, window, band, extra)
 
 
 def merge_sharded(bv: BrickVolume, device=None) -> BrickVolume:

@@ -269,6 +269,100 @@ def test_module_flag_flip_retraces(small_cfg, monkeypatch):
                                       np.asarray(b0.weight))
 
 
+def _near_patch_scene(small_cfg):
+    """640x480 scene with a far sphere plus a small NEAR patch (z = 0.12 m):
+    the bricks under the patch project to footprints spanning several
+    (128-row x 256-col) kernel tiles, forcing the multipass path while the
+    rest of the scene stays single-pass."""
+    cfg = small_cfg.with_updates(
+        image_width=640, image_height=480, focal_length_x=525.0,
+        focal_length_y=525.0, principal_point_x=319.5,
+        principal_point_y=239.5, min_sensor_dist=0.02)
+    pose = tilted_pose()
+    depth = np.asarray(sphere_depth(cfg, center=(-0.013, -0.021, 0.9),
+                                    radius=0.3)).copy()
+    depth[200:300, 280:380] = 0.12
+    return cfg, pose, depth
+
+
+def _multipass_count(cfg, bv, pose, window=True):
+    """Number of extra kernel passes the active set needs this frame."""
+    import jax.numpy as jnp_
+
+    from cpu_tsdf_tpu.geometry import rigid_inverse
+    from cpu_tsdf_tpu.ops import pallas_fusion as pf
+
+    n = int(bv.n_active)
+    coords = jnp_.asarray(np.asarray(bv.coords)[:n])
+    ok = jnp_.ones((n,), bool)
+    pinv = rigid_inverse(jnp_.asarray(pose, jnp_.float32))
+    meta, okm, tiles = pf.brick_meta(cfg, 8, coords[:, 0], coords[:, 1],
+                                     coords[:, 2], ok, pinv, window, 128,
+                                     multipass=True)
+    slots = jnp_.arange(n, dtype=jnp_.int32)
+    _, _, total = pf.expand_extra_meta(cfg, n + 1, meta, slots, okm, tiles,
+                                       window, 128)
+    return int(total)
+
+
+def test_pallas_multipass_near_camera(small_cfg, monkeypatch):
+    """Bricks whose footprint spans several kernel tiles (near-camera patch)
+    run as multiple disjoint-validity kernel passes and match the XLA
+    engine: EXACT weights/nsample prove every voxel got exactly one
+    observation (a double-counted pass would add weight)."""
+    from cpu_tsdf_tpu.ops import pallas_fusion as pf
+
+    monkeypatch.setattr(pf, "EXTRA_PASS_BUDGET", 256)  # interpret-mode speed;
+    # the budget feeds the meta_extra SHAPE, so the jit cache key tracks it
+    cfg, pose, depth = _near_patch_scene(small_cfg)
+    bx = _run(cfg, [pose], depth, use_pallas=False)
+    bp = _run(cfg, [pose], depth, use_pallas=True)
+    assert not bool(bp.overflowed)
+    n_extra = _multipass_count(cfg, bx, pose)
+    assert n_extra > 0, "scene must genuinely need extra passes"
+    assert int(bx.n_active) == int(bp.n_active)
+    np.testing.assert_array_equal(np.asarray(bp.weight), np.asarray(bx.weight))
+    np.testing.assert_array_equal(np.asarray(bp.nsample),
+                                  np.asarray(bx.nsample))
+    np.testing.assert_allclose(np.asarray(bp.sdf), np.asarray(bx.sdf),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(bp.M), np.asarray(bx.M), atol=1e-5)
+
+
+def test_pallas_multipass_color(small_cfg, monkeypatch):
+    """Multipass bricks fuse color exactly: the per-pass aux rows have
+    disjoint validity and fold back into the main rows via scatter-max."""
+    from cpu_tsdf_tpu.ops import pallas_fusion as pf
+
+    monkeypatch.setattr(pf, "EXTRA_PASS_BUDGET", 256)
+    cfg, pose, depth = _near_patch_scene(small_cfg)
+    cfg = cfg.with_updates(integrate_color=True, color_mode="RGB")
+    rng = np.random.default_rng(11)
+    rgb = jnp.asarray(rng.integers(0, 256, depth.shape + (3,)), jnp.float32)
+    bx = _run(cfg, [pose], depth, use_pallas=False, rgb=rgb)
+    bp = _run(cfg, [pose], depth, use_pallas=True, rgb=rgb)
+    assert not bool(bp.overflowed)
+    np.testing.assert_array_equal(np.asarray(bp.weight), np.asarray(bx.weight))
+    obs = np.asarray(bx.weight) > 0
+    np.testing.assert_array_equal(np.asarray(bp.color)[obs],
+                                  np.asarray(bx.color)[obs])
+
+
+def test_pallas_multipass_budget_overflow_flag(small_cfg, monkeypatch):
+    """More extra passes than EXTRA_PASS_BUDGET must raise `overflowed`
+    (missing passes are never silent)."""
+    from cpu_tsdf_tpu.ops import pallas_fusion as pf
+
+    cfg, pose, depth = _near_patch_scene(small_cfg)
+    needed = None
+    bx = _run(cfg, [pose], depth, use_pallas=False)
+    needed = _multipass_count(cfg, bx, pose)
+    assert needed > 2
+    monkeypatch.setattr(pf, "EXTRA_PASS_BUDGET", 2)
+    bp = _run(cfg, [pose], depth, use_pallas=True)
+    assert bool(bp.overflowed)
+
+
 def test_pallas_kernel_anisotropic_cells(small_cfg):
     """The fusion kernel's projection/fits math uses per-axis cell sizes;
     pin kernel-vs-XLA parity on a volume with three DIFFERENT cell sizes
