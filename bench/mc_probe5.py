@@ -112,8 +112,8 @@ def main():
 
     @jax.jit
     def s_full(bv, slot0):
-        v, c, st = _extract_chunk_compact(bv, stats, slot0, K, CB, KB, TB,
-                                          2.5, False, False)
+        v, c, _tv, _n, _o, st = _extract_chunk_compact(
+            bv, stats, slot0, K, CB, KB, TB, 2.5, False, False)
         return jnp.sum(jnp.where(jnp.isnan(v), 0.0, v)) + jnp.sum(st)
 
     @jax.jit
@@ -124,8 +124,8 @@ def main():
 
     @jax.jit
     def s_full_tight(bv, slot0):
-        v, c, st = _extract_chunk_compact(bv, stats, slot0, K, 1 << 14, KB,
-                                          1 << 16, 2.5, False, False)
+        v, c, _tv, _n, _o, st = _extract_chunk_compact(
+            bv, stats, slot0, K, 1 << 14, KB, 1 << 16, 2.5, False, False)
         return jnp.sum(jnp.where(jnp.isnan(v), 0.0, v)) + jnp.sum(st)
 
     for name, fn in (("corner stacks", s_stacks),

@@ -68,8 +68,9 @@ def main():
 
     # ---- counts -----------------------------------------------------------
     stats = _brick_stats(bv, (0,), 2048, 2.5)
-    v, c, st = _extract_chunk_compact(bv, stats, jnp.int32(0), 2048, 1 << 15,
-                                      512, 1 << 16, 2.5, False, False)
+    v, c, _tv, _n, _o, st = _extract_chunk_compact(
+        bv, stats, jnp.int32(0), 2048, 1 << 15, 512, 1 << 16, 2.5, False,
+        False)
     stn = np.asarray(st)
     print(f"n_tris {stn[0]} ovf {stn[1:4].tolist()} n_cubes {stn[4]} "
           f"n_bricks {stn[5]}", flush=True)

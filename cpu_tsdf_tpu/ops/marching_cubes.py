@@ -949,11 +949,14 @@ def _extract_chunk_compact(bv, stats, slot0, n_slots: int, cube_budget: int,
                            corner_engine: str = "xla"):
     """One-dispatch chunk extraction: chunk + in-jit soup compaction to a
     fixed [tri_budget] buffer. Blocking host syncs cost ~30 ms each through
-    the TPU tunnel (bench/mc_probe4), so the whole chunk pipeline runs as a
-    single async dispatch; the caller reads flags/counts once at the end.
+    the TPU tunnel (bench/mc_probe4) and even ASYNC per-op dispatch costs
+    1-6 ms (bench/mc_probe8), so the whole chunk pipeline INCLUDING the
+    MeshSoup field glue runs as a single dispatch; single-chunk unchecked
+    extraction issues no further device ops.
 
-    Returns (verts [T,3,3], cols [T,3,3] | None, out [6] int32:
-    n_tris, cube_ovf, brick_ovf, tri_ovf, n_cubes, n_bricks)."""
+    Returns (verts [T,3,3], cols [T,3,3] | None, tri_valid [T] bool,
+    n_tris i32, any_ovf bool, out [6] int32: n_tris, cube_ovf, brick_ovf,
+    tri_ovf, n_cubes, n_bricks)."""
     soup, brick_ovf, n_cubes, n_bricks = _marching_cubes_brick_chunk(
         bv, stats, slot0, n_slots, cube_budget, brick_budget, min_weight,
         color_by_rgb, color_by_confidence, corner_engine, tri_budget)
@@ -967,7 +970,9 @@ def _extract_chunk_compact(bv, stats, slot0, n_slots: int, cube_budget: int,
                      brick_ovf.astype(jnp.int32),
                      (n > tri_budget).astype(jnp.int32),
                      n_cubes.astype(jnp.int32), n_bricks.astype(jnp.int32)])
-    return verts, cols, out
+    tv = jnp.arange(verts.shape[0], dtype=jnp.int32) < n
+    any_ovf = jnp.sum(out[1:4]) > 0
+    return verts, cols, tv, n, any_ovf, out
 
 
 @partial(jax.jit, static_argnums=(1,))
@@ -1050,16 +1055,18 @@ def extract_soup_bricks(bv, min_weight: float = DEFAULT_MIN_WEIGHT,
                                        cb, kb, tb, min_weight, color_by_rgb,
                                        color_by_confidence, corner_engine)
                 for s0, (cb, kb, tb) in zip(live_chunks, budgets)]
+        # single-chunk: every MeshSoup field comes straight out of the one
+        # chunk dispatch — no further device ops on the repeat path
         v_all = (outs[0][0] if len(outs) == 1
                  else jnp.concatenate([o[0] for o in outs], 0))
         c_all = (None if outs[0][1] is None else
                  (outs[0][1] if len(outs) == 1
                   else jnp.concatenate([o[1] for o in outs], 0)))
-        tvs = [jnp.arange(o[0].shape[0], dtype=jnp.int32) < o[2][0]
-               for o in outs]
-        tv = tvs[0] if len(outs) == 1 else jnp.concatenate(tvs, 0)
-        n_tot = sum(o[2][0] for o in outs)
-        ovf = sum(jnp.sum(o[2][1:4]) for o in outs) > 0
+        tv = (outs[0][2] if len(outs) == 1
+              else jnp.concatenate([o[2] for o in outs], 0))
+        n_tot = outs[0][3] if len(outs) == 1 else sum(o[3] for o in outs)
+        ovf = outs[0][4] if len(outs) == 1 else sum(
+            o[4].astype(jnp.int32) for o in outs) > 0
         return MeshSoup(vertices=v_all, colors=c_all, tri_valid=tv,
                         num_triangles=n_tot, overflowed=ovf,
                         live_chunks=tuple(live_chunks),
@@ -1083,8 +1090,8 @@ def extract_soup_bricks(bv, min_weight: float = DEFAULT_MIN_WEIGHT,
                                        color_by_confidence, corner_engine))
                for (s0, cb, kb, tb) in batch]
         # ONE sync for the whole batch
-        stats = np.asarray(jnp.stack([o[4][2] for o in out]))
-        for (s0, cb, kb, tb, (v, c, _)), st in zip(out, stats):
+        stats = np.asarray(jnp.stack([o[4][5] for o in out]))
+        for (s0, cb, kb, tb, (v, c, _, _n, _o, _st)), st in zip(out, stats):
             n, cube_ovf, brick_ovf, tri_ovf, n_cubes, n_bricks = (int(x) for x in st)
             if brick_ovf:
                 pending.append((s0, cb, min(chunk_slots, kb * 2), tb))
