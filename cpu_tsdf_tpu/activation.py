@@ -76,27 +76,35 @@ def depth_mips(depth: jnp.ndarray) -> DepthMips:
     Hp, Wp = shapes[0]
     inf = jnp.float32(jnp.inf)
     if (Hp, Wp) == (H, W):
-        # already pow2: the NaN masks fuse into the first reduce (the
-        # pad-copy pair cost ~0.4 ms/frame at 512x512, bench/integrate_trace)
+        # already pow2: the NaN masks fuse into the first reduce
         dmin = jnp.where(jnp.isnan(depth), inf, depth)
         dmax = jnp.where(jnp.isnan(depth), -inf, depth)
     else:
-        dmin = jnp.full((Hp, Wp), inf)
-        dmin = dmin.at[:H, :W].set(jnp.where(jnp.isnan(depth), inf, depth))
-        dmax = jnp.full((Hp, Wp), -inf)
-        dmax = dmax.at[:H, :W].set(jnp.where(jnp.isnan(depth), -inf, depth))
+        # pad ONCE with NaN; the min/max pyramids derive their base level
+        # with fused masks (two separate padded at[].set pairs cost ~0.9
+        # ms/frame at [512,1024], bench/integrate_trace r4)
+        dp = jnp.full((Hp, Wp), jnp.float32(jnp.nan)).at[:H, :W].set(depth)
+        dmin = jnp.where(jnp.isnan(dp), inf, dp)
+        dmax = jnp.where(jnp.isnan(dp), -inf, dp)
+
+    def halve(a, h, w, red):
+        # Split row/column reduction so the vreg minor dim stays wide.
+        # reshape(h, 2, w, 2) + reduce((1, 3)) puts a 2-wide minor dim in
+        # every vector op (64x lane padding): the whole 640x480 pyramid
+        # pair measured 39 ms eager / ~1.7 ms traced vs 0.65 ms for this
+        # form (bench/mips_probe r4). lax.reduce_window is worse still: a
+        # >40 min pathological compile (round 3).
+        ph, pw = a.shape
+        if ph != h:
+            a = red(a.reshape(h, ph // h, pw), axis=1)
+        if pw != w:
+            a = red(jnp.stack([a[:, 0::2], a[:, 1::2]], 0), axis=0)
+        return a
 
     mins, maxs = [dmin], [dmax]
     for (h, w) in shapes[1:]:
-        ph, pw = mins[-1].shape
-        rh, rw = ph // h, pw // w  # 2 (or 1 at a collapsed axis)
-        # NOTE: lax.reduce_window here sent the TPU compiler into a
-        # pathological >40 min compile (round 3); the reshape relayout is
-        # ~0.2 ms/level-0 but compiles instantly
-        m = mins[-1].reshape(h, rh, w, rw)
-        mins.append(jnp.min(m, axis=(1, 3)))
-        x = maxs[-1].reshape(h, rh, w, rw)
-        maxs.append(jnp.max(x, axis=(1, 3)))
+        mins.append(halve(mins[-1], h, w, jnp.min))
+        maxs.append(halve(maxs[-1], h, w, jnp.max))
     offsets = np.cumsum([0] + [h * w for (h, w) in shapes[:-1]])
     return DepthMips(
         flat_min=jnp.concatenate([m.reshape(-1) for m in mins]),
