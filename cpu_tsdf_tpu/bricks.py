@@ -49,7 +49,21 @@ from .volume import TSDFVolume, color_channels, make_volume
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class BrickVolume:
-    """Block-sparse TSDF volume. Data arrays are [C, B, B, B(, ch)]."""
+    """Block-sparse TSDF volume.
+
+    The sdf/weight/M/nsample SoA arrays are stored VREG-TILED as
+    [C, 4, B^3/4]: each brick row is the plain row-major flattening of its
+    [B, B, B] voxels ((lx*B+ly)*B+lz), split into 4 sublane chunks of
+    B^3/4 lanes. At B=8 that is [C, 4, 128] — whose default TPU entry
+    layout {2,1,0:T(4,128)} is byte-identical to the Pallas fusion
+    kernel's operand constraint, so the volume crosses the per-frame jit
+    boundary with ZERO layout copies ([C, B, B, B] storage defaulted to a
+    C-minor {0,3,2,1:T(8,128)} layout and paid 12 full-volume transpose
+    copies ~1.4 ms/frame around the kernel chain — bench/hlo_copies r4).
+    Any `.reshape(-1)` / `.reshape(C, V)` consumer sees the same linear
+    order as the former [C, B, B, B] storage. `color` (not a kernel
+    operand) stays [C, B, B, B, nc].
+    """
 
     brick_map: jnp.ndarray     # int32 [Bx, By, Bz], slot or -1
     n_active: jnp.ndarray      # int32 scalar
@@ -71,6 +85,13 @@ class BrickVolume:
         return (cfg.xres // B, cfg.yres // B, cfg.zres // B)
 
 
+def soa_inner(brick_size: int) -> tuple:
+    """Inner dims of the vreg-tiled SoA storage (see BrickVolume): [4, V/4]
+    when the brick volume divides into 4 sublane chunks, else [1, V]."""
+    V = brick_size ** 3
+    return (4, V // 4) if V % 4 == 0 else (1, V)
+
+
 def make_brick_volume(cfg: TSDFConfig, brick_size: int = 8,
                       capacity: int = 1 << 15, dtype=jnp.float32) -> BrickVolume:
     if cfg.xres % brick_size or cfg.yres % brick_size or cfg.zres % brick_size:
@@ -78,7 +99,7 @@ def make_brick_volume(cfg: TSDFConfig, brick_size: int = 8,
     nb = (cfg.xres // brick_size, cfg.yres // brick_size, cfg.zres // brick_size)
     B = brick_size
     nc = color_channels(cfg)
-    shape = (capacity, B, B, B)
+    shape = (capacity,) + soa_inner(B)
     return BrickVolume(
         brick_map=jnp.full(nb, -1, jnp.int32),
         n_active=jnp.int32(0),
@@ -87,7 +108,7 @@ def make_brick_volume(cfg: TSDFConfig, brick_size: int = 8,
         weight=jnp.zeros(shape, dtype),
         M=jnp.zeros(shape, dtype),
         nsample=jnp.zeros(shape, jnp.int32),
-        color=(jnp.zeros(shape + (nc,), dtype) if nc else None),
+        color=(jnp.zeros((capacity, B, B, B, nc), dtype) if nc else None),
         global_transform=jnp.eye(4, dtype=jnp.float32),
         overflowed=jnp.asarray(False),
         config=cfg,
@@ -401,7 +422,8 @@ def fuse_brick_batch(cfg: TSDFConfig, B: int, bx, by, bz, slot_ok, slots,
                      pallas_interpret: bool = False,
                      pallas_window: bool = None, pallas_band: int = None,
                      pallas_extra: int = None):
-    """Fuse one frame's budgeted brick batch into [C, B, B, B] SoA arrays.
+    """Fuse one frame's budgeted brick batch into the [C, 4, B^3/4] SoA
+    arrays (vreg-tiled storage — see :class:`BrickVolume`).
 
     The shared per-batch update behind both the single-device volume
     (:func:`integrate_bricks`) and the slab-sharded shard_map body
@@ -440,9 +462,12 @@ def fuse_brick_batch(cfg: TSDFConfig, B: int, bx, by, bz, slot_ok, slots,
     # them to the top cost ~2.2 ms/frame of dead [K, 512] gathers
     # (bench/integrate_trace)
     slots_c = jnp.clip(slots, 0, C - 1)
+    K = bx.shape[0]
 
     def g(a):
-        return jnp.take(a, slots_c, axis=0)
+        # row gather + view as [K, B, B, B] (storage is the vreg-tiled
+        # [C, 4, V/4] — same linear order, see BrickVolume)
+        return jnp.take(a, slots_c, axis=0).reshape(K, B, B, B)
 
     def xla_update():
         """Reference XLA path: per-voxel observation + fusion for the batch.
@@ -487,7 +512,6 @@ def fuse_brick_batch(cfg: TSDFConfig, B: int, bx, by, bz, slot_ok, slots,
         window = (pf.USE_DEPTH_WINDOW if pallas_window is None
                   else pallas_window)
         band = pf.resolve_band(pallas_band)
-        K = bx.shape[0]
         V = B * B * B
         # EVERY brick runs through the kernel: bricks whose footprint spans
         # several (band x window) tiles get one kernel pass per tile (the
@@ -511,18 +535,11 @@ def fuse_brick_batch(cfg: TSDFConfig, B: int, bx, by, bz, slot_ok, slots,
         pose_flat = pose_inv[:3, :].reshape(1, 12)
 
         out = fuse_bricks_inplace(
-            cfg, B, meta, pose_flat,
-            sdf.reshape(C, V), weight.reshape(C, V),
-            M.reshape(C, V), nsample.reshape(C, V),
+            cfg, B, meta, pose_flat, sdf, weight, M, nsample,
             pallas_interpret, depth=depth_c,
             rgb_packed=pack_rgb(rgb, wact) if color_active else None,
             window=window, band=band, meta_extra=meta_extra)
-        d1f, w1f, M1f, n1f = out[:4]
-        shape4 = (C, B, B, B)
-        new_sdf = d1f.reshape(shape4)
-        new_w = w1f.reshape(shape4)
-        new_M = M1f.reshape(shape4)
-        new_n = n1f.reshape(shape4)
+        new_sdf, new_w, new_M, new_n = out[:4]
 
         new_color = color
         if color_active:
@@ -570,7 +587,7 @@ def fuse_brick_batch(cfg: TSDFConfig, B: int, bx, by, bz, slot_ok, slots,
     # invalid rows carry slot == C, which mode="drop" skips — so they never
     # clobber real slots (in particular not the clipped slot they read)
     def s(a, upd):
-        return a.at[slots].set(upd, mode="drop")
+        return a.at[slots].set(upd.reshape((K,) + a.shape[1:]), mode="drop")
 
     return (s(sdf, d1), s(weight, w1), s(M, M1), s(nsample, n1), new_color,
             jnp.zeros((), bool))
@@ -592,10 +609,12 @@ def to_dense(vol: BrickVolume) -> TSDFVolume:
     nbx, nby, nbz = vol.bricks_per_axis
 
     def expand(data, fill):
+        # color keeps [C, B, B, B, nc]; SoA rows are vreg-tiled [C, 4, V/4]
+        extra = data.shape[4:]
+        data = data.reshape((data.shape[0], B, B, B) + extra)
         pad = jnp.concatenate([data, jnp.full((1,) + data.shape[1:], fill, data.dtype)], 0)
         flat_map = jnp.where(vol.brick_map < 0, vol.capacity, vol.brick_map)
         blocks = pad[flat_map.reshape(-1)]  # [Nb, B, B, B(, c)]
-        extra = blocks.shape[4:]
         blocks = blocks.reshape((nbx, nby, nbz, B, B, B) + extra)
         blocks = jnp.moveaxis(blocks, (3, 4, 5), (1, 3, 5))
         return blocks.reshape((nbx * B, nby * B, nbz * B) + extra)
@@ -639,6 +658,7 @@ def from_dense(vol: TSDFVolume, brick_size: int = 8,
     slots = jnp.where(ok, flat_map, capacity)
 
     def scatter(data, blocks):
+        blocks = blocks.reshape((blocks.shape[0],) + data.shape[1:])
         pad = jnp.concatenate([data, jnp.zeros((1,) + data.shape[1:], data.dtype)], 0)
         return pad.at[slots].set(blocks, mode="drop")[:-1]
 
@@ -668,7 +688,7 @@ class PackedRenderVolume:
     cubes or fusion (real weights are gone) — render paths only.
     """
 
-    rd: jnp.ndarray                      # dense [X,Y,Z] or brick [C,B,B,B]
+    rd: jnp.ndarray                      # dense [X,Y,Z] or brick [C,4,V/4]
     brick_map: Optional[jnp.ndarray]     # None = dense layout
     color: Optional[jnp.ndarray]
     global_transform: jnp.ndarray

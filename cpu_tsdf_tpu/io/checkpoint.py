@@ -72,16 +72,21 @@ def load_checkpoint(path: str):
         cfg = TSDFConfig(**meta["config"])
         color = jnp.asarray(z["color"]) if "color" in z.files else None
         if meta.get("kind") == "brick":
-            from ..bricks import BrickVolume
+            from ..bricks import BrickVolume, soa_inner
 
+            # normalize to the vreg-tiled SoA storage (reads both current
+            # checkpoints and pre-r4 [C, B, B, B]-shaped ones — the flat
+            # linear order is identical)
+            cap = int(meta["capacity"])
+            soa = (cap,) + soa_inner(int(meta["brick_size"]))
             return BrickVolume(
                 brick_map=jnp.asarray(z["brick_map"]),
                 n_active=jnp.asarray(z["n_active"]),
                 coords=jnp.asarray(z["coords"]),
-                sdf=jnp.asarray(z["sdf"]),
-                weight=jnp.asarray(z["weight"]),
-                M=jnp.asarray(z["M"]),
-                nsample=jnp.asarray(z["nsample"]),
+                sdf=jnp.asarray(z["sdf"]).reshape(soa),
+                weight=jnp.asarray(z["weight"]).reshape(soa),
+                M=jnp.asarray(z["M"]).reshape(soa),
+                nsample=jnp.asarray(z["nsample"]).reshape(soa),
                 color=color,
                 global_transform=jnp.asarray(z["global_transform"]),
                 overflowed=jnp.asarray(z["overflowed"]),

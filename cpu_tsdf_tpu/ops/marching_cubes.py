@@ -518,6 +518,9 @@ def _corner_stacks(bv, slots, min_weight: float):
         own = jnp.take(field.reshape(C, V), slots, axis=0, mode="fill",
                        fill_value=fill)
         own = jnp.where(slot_live[:, None], own, fill).reshape(K, B, B, B)
+        # face/edge slab sources want 4D views (storage is the vreg-tiled
+        # [C, 4, V/4] — same linear order, bricks.BrickVolume)
+        field = field.reshape(C, B, B, B)
 
         def g(src2d, bits, shape):
             t = jnp.take(src2d, nslots[bits], axis=0, mode="fill",

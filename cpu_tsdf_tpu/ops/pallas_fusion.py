@@ -566,9 +566,11 @@ def fuse_bricks_inplace(cfg: TSDFConfig, B: int, meta, pose_inv_flat, sdf,
     meta: [K, 8] int32 (base_x/y/z, v0/8, ok, slot, u0/128, mask) — slot
     indexes the brick data row each grid step reads AND writes (the
     framework reserves the last row as a write-off dump for inactive
-    steps). Volume arrays are [C, B^3]-shaped (reshaped internally to
-    [C, 4, B^3/4] for Mosaic tiling) and donated; outputs alias them, so
-    untouched rows carry over for free.
+    steps). Volume arrays arrive in their native vreg-tiled [C, 4, B^3/4]
+    storage (see bricks.BrickVolume) and are donated; outputs alias them,
+    so untouched rows carry over for free AND the jit's entry layout
+    matches the kernel's operand constraint exactly — no transpose copies
+    anywhere in the chain (bench/hlo_copies r4).
 
     meta_extra ([E, 8], :func:`expand_extra_meta`): continuation passes for
     bricks whose footprint spans several (band x window) tiles, run as ONE
@@ -582,8 +584,8 @@ def fuse_bricks_inplace(cfg: TSDFConfig, B: int, meta, pose_inv_flat, sdf,
     """
     K = meta.shape[0]
     V = B * B * B
-    C = sdf.shape[0]
-    S, L = 4, V // 4
+    C, S, L = sdf.shape
+    assert (S, L) == (4, V // 4), (sdf.shape, B)
     W = depth.shape[1]
     n_coarse = 1 << cfg.num_coarse_levels
     want_color = rgb_packed is not None
@@ -626,8 +628,7 @@ def fuse_bricks_inplace(cfg: TSDFConfig, B: int, meta, pose_inv_flat, sdf,
         )(meta_c, pose_inv_flat, *imgs, sdf_, w_, M_, n_)
         return (out[:4], out[4:]) if want_color else (out, ())
 
-    arrays = (sdf.reshape(C, S, L), weight.reshape(C, S, L),
-              M.reshape(C, S, L), nsample.reshape(C, S, L))
+    arrays = (sdf, weight, M, nsample)
     aux_parts = []
     for s in range(0, K, MAX_BRICKS_PER_CALL):
         e = min(s + MAX_BRICKS_PER_CALL, K)
@@ -663,7 +664,7 @@ def fuse_bricks_inplace(cfg: TSDFConfig, B: int, meta, pose_inv_flat, sdf,
             jnp.any(meta_extra[:, 4] > 0),
             lambda a: run_chunk(meta_extra, a, kern_multi),
             skip_extra, arrays)
-    state = tuple(a.reshape(C, V) for a in arrays)
+    state = arrays
     if not want_color:
         return state
     rgbp = jnp.concatenate([p[0] for p in aux_parts], 0).reshape(K, V)

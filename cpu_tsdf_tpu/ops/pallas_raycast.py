@@ -118,7 +118,8 @@ def make_render_pack(vol, r_budget: int = 4096) -> RenderPack:
     # the former full-capacity quantize streamed C*4 KB of sdf+weight per
     # pack build — 134 MB at the default 32k capacity for ~2k live bricks
     scale = _quant_scale(cfg)
-    rd = jnp.where(vol.weight[:R] > 0, vol.sdf[:R], jnp.nan)
+    rd = jnp.where(vol.weight[:R] > 0, vol.sdf[:R],
+                   jnp.nan).reshape(R, B, B, B)
     q = jnp.where(jnp.isnan(rd), NAN_Q,
                   jnp.clip(jnp.round(rd * scale), -32767, 32767)).astype(jnp.int32)
     raw = (q[..., 1::2] << 16) | (q[..., 0::2] & 0xFFFF)     # [R, 8, 8, 4]

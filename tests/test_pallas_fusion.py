@@ -66,9 +66,10 @@ def test_pallas_color_fusion_matches_xla(small_cfg, mode):
     bp = _run(cfg, poses, depth, use_pallas=True, rgb=rgb)
     assert bx.color is not None and bp.color is not None
     np.testing.assert_array_equal(np.asarray(bp.weight), np.asarray(bx.weight))
-    obs = np.asarray(bx.weight) > 0
-    cx = np.asarray(bx.color)[obs]
-    cp = np.asarray(bp.color)[obs]
+    # weight is vreg-tiled [C, 4, V/4]; color is [C, B, B, B, nc] — align flat
+    obs = np.asarray(bx.weight).reshape(-1) > 0
+    cx = np.asarray(bx.color).reshape(obs.shape[0], -1)[obs]
+    cp = np.asarray(bp.color).reshape(obs.shape[0], -1)[obs]
     if mode == "RGB":
         # trunc-after-update uint8 semantics round-trip exactly
         np.testing.assert_array_equal(cp, cx)
