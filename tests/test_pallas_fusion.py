@@ -344,9 +344,11 @@ def test_pallas_multipass_color(small_cfg, monkeypatch):
     bp = _run(cfg, [pose], depth, use_pallas=True, rgb=rgb)
     assert not bool(bp.overflowed)
     np.testing.assert_array_equal(np.asarray(bp.weight), np.asarray(bx.weight))
-    obs = np.asarray(bx.weight) > 0
-    np.testing.assert_array_equal(np.asarray(bp.color)[obs],
-                                  np.asarray(bx.color)[obs])
+    # weight is vreg-tiled [C, 4, V/4]; color is [C, B, B, B, nc] — align flat
+    obs = np.asarray(bx.weight).reshape(-1) > 0
+    cx = np.asarray(bx.color).reshape(obs.shape[0], -1)[obs]
+    cp = np.asarray(bp.color).reshape(obs.shape[0], -1)[obs]
+    np.testing.assert_array_equal(cp, cx)
 
 
 def test_pallas_multipass_budget_overflow_flag(small_cfg, monkeypatch):
