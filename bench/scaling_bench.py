@@ -112,6 +112,39 @@ def main():
         out[f"integrate_overhead_{n}dev"] = round(t_int / t_int_1, 3)
         out[f"render_overhead_{n}dev"] = round(t_ray / t_ray_1, 3)
 
+    # ---- tile-sharded Pallas MARCH KERNEL (VERDICT r4 item 1) -------------
+    # The kernel only runs in interpret mode on CPU, so wall-clock carries
+    # python-interpreter cost — but BOTH sides run the same mode, and padded
+    # pairs exit the march immediately, so the ratio still isolates the
+    # sharding overhead (pair partitioning + per-device chunking).
+    from cpu_tsdf_tpu.ops.pallas_raycast import render_view_pallas
+    from cpu_tsdf_tpu.parallel import render_view_pallas_sharded
+
+    rk = render_view_pallas(bv, pose, r_budget=1024, pair_budget=2048,
+                            interpret=True)
+    fence(rk.depth)
+    t0 = time.time()
+    rk = render_view_pallas(bv, pose, r_budget=1024, pair_budget=2048,
+                            interpret=True)
+    fence(rk.depth)
+    t_k1 = time.time() - t0
+    out["render_kernel_ms_1dev"] = round(t_k1 * 1000, 2)
+    for n in (2, 8):
+        if n > len(devs):
+            continue
+        mesh = make_tsdf_mesh(devs[:n])
+        rs = render_view_pallas_sharded(bv, pose, mesh, r_budget=1024,
+                                        pair_budget=2048, interpret=True)
+        np.testing.assert_array_equal(np.asarray(rk.depth),
+                                      np.asarray(rs.depth))
+        t0 = time.time()
+        rs = render_view_pallas_sharded(bv, pose, mesh, r_budget=1024,
+                                        pair_budget=2048, interpret=True)
+        fence(rs.depth)
+        t_k = time.time() - t0
+        out[f"render_kernel_ms_{n}dev"] = round(t_k * 1000, 2)
+        out[f"render_kernel_overhead_{n}dev"] = round(t_k / t_k1, 3)
+
     print(json.dumps(out), flush=True)
     return 0
 

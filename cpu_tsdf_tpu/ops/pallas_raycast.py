@@ -707,15 +707,20 @@ def _kernel(cfg: TSDFConfig, ds: int, TX: int, max_march: int, max_bt: int,
         out_ref[0, 6] = jnp.where(win, nz / nn, out_ref[0, 6])
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6))
 def raycast_pairs(pack: RenderPack, meta, pose, downsample_by: int,
-                  pair_budget: int, interpret: bool = False):
-    """Run the march kernel over the pair list. Returns out [T+1, NCH, 8, 128]."""
+                  pair_budget: int, interpret: bool = False, t_rows: int = 0):
+    """Run the march kernel over the pair list. Returns out [T+1, NCH, 8, 128].
+
+    ``t_rows`` > T pads the output tile rows (rows beyond the real tile grid
+    stay at their initial no-crossing value) — the tile-sharded renderer
+    slices a fixed Td-row window per device from the padded buffer
+    (parallel/raycast.py), which must not wrap around the trash row."""
     cfg = pack.config
     ds = downsample_by
     W, H = cfg.image_width // ds, cfg.image_height // ds
     TX, TY = -(-W // TILE_PX), -(-H // TILE_PX)
-    T = TX * TY
+    T = max(TX * TY, t_rows)
     cell_min = min(cfg.cell_size)
     # march budget: brick diagonal + overlap at >= cell/4 steps is the hard
     # bound (no lower cap: the loop exits early when all lanes are done, and a
@@ -776,23 +781,17 @@ def raycast_pairs(pack: RenderPack, meta, pose, downsample_by: int,
     return out
 
 
-def _march_forward(pack: RenderPack, pose, downsample_by: int,
-                   pair_budget: int, interpret: bool):
-    """Kernel march -> flat per-ray channels (non-differentiable part)."""
-    cfg = pack.config
+def _channels_from_out(cfg: TSDFConfig, downsample_by: int, out, tile_hit):
+    """Un-tile the kernel's [>=T, NCH, 8, 128] output into flat per-ray
+    channels (shared by the single-device and tile-sharded renderers; rows
+    beyond the real T tiles are ignored)."""
     ds = downsample_by
     W, H = cfg.image_width // ds, cfg.image_height // ds
     TX, TY = -(-W // TILE_PX), -(-H // TILE_PX)
-    meta, tile_hit, ovf_tiles, ovf_pairs = build_pairs(pack, pose, ds,
-                                                       pair_budget)
-    # fatal: a bigger pair list cannot fix these (dropped bricks -> wrong
-    # depths possible); fixable: retry with a larger pair_budget helps
-    ovf_fatal = ovf_tiles | pack.truncated
-    out = raycast_pairs(pack, meta, pose, ds, pair_budget, interpret)
+    T = TX * TY
 
-    # un-tile [T+1, NCH, 8, 128] -> [H, W] per channel
     def untile(ch):
-        t = out[:-1, ch]                                  # [T, 8, 128]
+        t = out[:T, ch]                                   # [T, 8, 128]
         t = t.reshape(TY, TX, 8, 4, TILE_PX)              # s=(8), l=(4,32)
         t = t.transpose(0, 2, 3, 1, 4).reshape(TY, TILE_PX, TX * TILE_PX)
         return t.reshape(TY * TILE_PX, TX * TILE_PX)[:H, :W]
@@ -809,6 +808,21 @@ def _march_forward(pack: RenderPack, pose, downsample_by: int,
     )
     ch["valid"] = ch["valid"].reshape(-1)
     ch["nvalid"] = ch["nvalid"].reshape(-1)
+    return ch
+
+
+def _march_forward(pack: RenderPack, pose, downsample_by: int,
+                   pair_budget: int, interpret: bool):
+    """Kernel march -> flat per-ray channels (non-differentiable part)."""
+    cfg = pack.config
+    ds = downsample_by
+    meta, tile_hit, ovf_tiles, ovf_pairs = build_pairs(pack, pose, ds,
+                                                       pair_budget)
+    # fatal: a bigger pair list cannot fix these (dropped bricks -> wrong
+    # depths possible); fixable: retry with a larger pair_budget helps
+    ovf_fatal = ovf_tiles | pack.truncated
+    out = raycast_pairs(pack, meta, pose, ds, pair_budget, interpret)
+    ch = _channels_from_out(cfg, ds, out, tile_hit)
     return ch, ovf_pairs, ovf_fatal
 
 

@@ -1,3 +1,4 @@
+from .raycast import render_view_pallas_sharded  # noqa: F401
 from .sharding import (  # noqa: F401
     integrate_sharded,
     make_tsdf_mesh,
