@@ -87,6 +87,63 @@ def _quant_scale(cfg: TSDFConfig) -> float:
 NAN_PAIR = int(np.array(0x80008000, np.uint32).view(np.int32))
 
 
+def quantize_pack_rows(cfg: TSDFConfig, sdf_rows, weight_rows):
+    """int16-quantize SDF rows (NaN = unobserved) and pack z-adjacent values
+    into int32 lanes. [R, 512] SoA rows -> [R, 8, 8, 4] packed pairs."""
+    B = 8
+    R = sdf_rows.shape[0]
+    scale = _quant_scale(cfg)
+    rd = jnp.where(weight_rows > 0, sdf_rows, jnp.nan).reshape(R, B, B, B)
+    q = jnp.where(jnp.isnan(rd), NAN_Q,
+                  jnp.clip(jnp.round(rd * scale), -32767, 32767)).astype(jnp.int32)
+    return (q[..., 1::2] << 16) | (q[..., 0::2] & 0xFFFF)
+
+
+def assemble_tables(raw_ext, own, neighbor_slot):
+    """Haloed 16^3 table assembly: concat tree of 27 pair-aligned pieces.
+
+    ``raw_ext`` [Rows, 8, 8, 4] are the int32-packed brick pair blocks the
+    halo pieces gather from (Rows may exceed the own-row count R — the
+    slab-sharded pack appends ghost-plane rows received over ppermute);
+    ``own`` [R, 8, 8, 4] is the center piece; ``neighbor_slot(ox, oy, oz)``
+    returns per-own-row indices into raw_ext (indices >= Rows fill with
+    NAN_PAIR). Returns [R, 16, 16, 8] packed pairs."""
+    B = 8
+    R = own.shape[0]
+    rows = raw_ext.shape[0]
+    HP = HALO // 2  # halo extent in pairs
+
+    def src_slice(o, pairs=False):
+        h = HP if pairs else HALO
+        n = B // 2 if pairs else B
+        return (slice(n - h, n) if o < 0 else
+                (slice(0, n) if o == 0 else slice(0, h)))
+
+    xparts = []
+    for ox in (-1, 0, 1):
+        sx = src_slice(ox)
+        yparts = []
+        for oy in (-1, 0, 1):
+            sy = src_slice(oy)
+            zparts = []
+            for oz in (-1, 0, 1):
+                sz = src_slice(oz, pairs=True)
+                if ox == oy == oz == 0:
+                    zparts.append(own)
+                    continue
+                src = raw_ext[:, sx, sy, sz]
+                ex = sx.stop - (sx.start or 0)
+                ey = sy.stop - (sy.start or 0)
+                ez = sz.stop - (sz.start or 0)
+                piece = jnp.take(src.reshape(rows, -1),
+                                 neighbor_slot(ox, oy, oz),
+                                 axis=0, mode="fill", fill_value=NAN_PAIR)
+                zparts.append(piece.reshape(R, ex, ey, ez))
+            yparts.append(jnp.concatenate(zparts, 3))
+        xparts.append(jnp.concatenate(yparts, 2))
+    return jnp.concatenate(xparts, 1)
+
+
 @partial(jax.jit, static_argnums=(1,))
 def make_render_pack(vol, r_budget: int = 4096) -> RenderPack:
     """Assemble haloed per-brick SDF tables from a BrickVolume.
@@ -117,12 +174,7 @@ def make_render_pack(vol, r_budget: int = 4096) -> RenderPack:
     # the callers' budget growth (rows beyond R surface as `truncated`), and
     # the former full-capacity quantize streamed C*4 KB of sdf+weight per
     # pack build — 134 MB at the default 32k capacity for ~2k live bricks
-    scale = _quant_scale(cfg)
-    rd = jnp.where(vol.weight[:R] > 0, vol.sdf[:R],
-                   jnp.nan).reshape(R, B, B, B)
-    q = jnp.where(jnp.isnan(rd), NAN_Q,
-                  jnp.clip(jnp.round(rd * scale), -32767, 32767)).astype(jnp.int32)
-    raw = (q[..., 1::2] << 16) | (q[..., 0::2] & 0xFFFF)     # [R, 8, 8, 4]
+    raw = quantize_pack_rows(cfg, vol.sdf[:R], vol.weight[:R])  # [R, 8, 8, 4]
 
     # liveness comes from coords alone (unallocated rows are -1): volumes from
     # merge_sharded have per-device slot GAPS, so n_active is not a bound.
@@ -143,39 +195,9 @@ def make_render_pack(vol, r_budget: int = 4096) -> RenderPack:
         # live neighbors beyond the budget on `truncated` volumes)
         return jnp.where(ok & (nslot >= 0), nslot, R)
 
-    HP = HALO // 2  # halo extent in pairs
-
-    def src_slice(o, pairs=False):
-        h = HP if pairs else HALO
-        n = B // 2 if pairs else B
-        return (slice(n - h, n) if o < 0 else
-                (slice(0, n) if o == 0 else slice(0, h)))
-
     own = jnp.where(used[:, None], raw.reshape(R, -1),
                     NAN_PAIR).reshape(R, B, B, B // 2)
-
-    xparts = []
-    for ox in (-1, 0, 1):
-        sx = src_slice(ox)
-        yparts = []
-        for oy in (-1, 0, 1):
-            sy = src_slice(oy)
-            zparts = []
-            for oz in (-1, 0, 1):
-                sz = src_slice(oz, pairs=True)
-                if ox == oy == oz == 0:
-                    zparts.append(own)
-                    continue
-                src = raw[:, sx, sy, sz]
-                ex = sx.stop - (sx.start or 0)
-                ey = sy.stop - (sy.start or 0)
-                ez = sz.stop - (sz.start or 0)
-                piece = jnp.take(src.reshape(R, -1), neighbor_slot(ox, oy, oz),
-                                 axis=0, mode="fill", fill_value=NAN_PAIR)
-                zparts.append(piece.reshape(R, ex, ey, ez))
-            yparts.append(jnp.concatenate(zparts, 3))
-        xparts.append(jnp.concatenate(yparts, 2))
-    tab = jnp.concatenate(xparts, 1)                 # [R, 16, 16, 8] pairs
+    tab = assemble_tables(raw, own, neighbor_slot)   # [R, 16, 16, 8] pairs
 
     return RenderPack(
         tables=tab.reshape(R, 1, PTABLE),

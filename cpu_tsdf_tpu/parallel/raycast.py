@@ -106,6 +106,162 @@ def _render_tile_sharded_jit(pack, pose, mesh: Mesh, ds: int,
     return res, ovf_pairs | (ovf_l > 0), ovf_tiles | pack.truncated
 
 
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def _render_volume_sharded_jit(bv, pose, mesh: Mesh, ds: int,
+                               r_budget_local: int, pair_budget_local: int,
+                               interpret: bool):
+    from ..ops.pallas_raycast import (PTABLE, RenderPack, _channels_from_out,
+                                      assemble_tables, build_pairs,
+                                      quantize_pack_rows, raycast_pairs,
+                                      NAN_PAIR)
+    from ..ops.raycast import assemble_view, camera_rays
+
+    cfg = bv.config
+    B = bv.brick_size
+    D = int(mesh.shape[AXIS])
+    C_local = bv.capacity // D
+    nbx, nby, nbz = bv.bricks_per_axis
+    nbx_local = nbx // D
+    npl = nby * nbz
+    R_local = min(r_budget_local, C_local)
+    W, H = cfg.image_width // ds, cfg.image_height // ds
+    pose = jnp.asarray(pose, jnp.float32)
+
+    def body(bm_l, coords_l, sdf_l, w_l, pose_r, gt_r):
+        dev = jax.lax.axis_index(AXIS)
+        bx0 = dev * nbx_local
+
+        # ---- halo exchange: one brick plane each way over ppermute --------
+        # A brick's haloed 16^3 table reads 4 voxels into each neighbor
+        # brick; only the +-x neighbors can live off-device (slab sharding),
+        # so each device ships its boundary planes to its x-neighbors.
+        # Absent bricks quantize to NAN_PAIR (w=0 -> NaN), which is exactly
+        # the unallocated-neighbor fill — no separate validity mask needed.
+        def plane_raw(px):
+            gs = bm_l[px].reshape(-1)                 # [npl] global slot ids
+            okp = gs >= 0
+            ls = jnp.clip(gs - dev * C_local, 0, C_local - 1)
+            # rows are vreg-tiled [4, 128]; flatten (same linear order)
+            sd = jnp.take(sdf_l, ls, axis=0).reshape(npl, -1)
+            wd = jnp.take(w_l, ls, axis=0).reshape(npl, -1) * okp[:, None]
+            return quantize_pack_rows(cfg, sd, wd)    # [npl, 8, 8, 4]
+
+        right_send = plane_raw(nbx_local - 1)
+        left_send = plane_raw(0)
+        ghost_left = jax.lax.ppermute(
+            right_send, AXIS, [(d, d + 1) for d in range(D - 1)])
+        ghost_right = jax.lax.ppermute(
+            left_send, AXIS, [(d + 1, d) for d in range(D - 1)])
+        # edge devices receive zeros from the unaddressed permute -> NaN fill
+        ghost_left = jnp.where(dev > 0, ghost_left, NAN_PAIR)
+        ghost_right = jnp.where(dev < D - 1, ghost_right, NAN_PAIR)
+
+        # ---- local haloed tables (own rows + ghost planes) ----------------
+        raw_own = quantize_pack_rows(cfg, sdf_l[:R_local], w_l[:R_local])
+        raw_ext = jnp.concatenate([raw_own, ghost_left, ghost_right], 0)
+        rows = raw_ext.shape[0]
+        coords_r = coords_l[:R_local]
+        used = (coords_r[:, 0] >= 0) & (jnp.arange(R_local) < R_local - 1)
+        trunc_l = jnp.any(coords_l[R_local - 1:, 0] >= 0)
+        bml_flat = bm_l.reshape(-1)
+        nbtot_l = nbx_local * nby * nbz
+
+        def neighbor_slot(ox, oy, oz):
+            nc = coords_r + jnp.asarray([ox, oy, oz])
+            ok = used & (nc[:, 0] >= 0) & (nc[:, 0] < nbx) & (nc[:, 1] >= 0) \
+                & (nc[:, 1] < nby) & (nc[:, 2] >= 0) & (nc[:, 2] < nbz)
+            in_slab = (nc[:, 0] >= bx0) & (nc[:, 0] < bx0 + nbx_local)
+            llin = ((nc[:, 0] - bx0) * nby + nc[:, 1]) * nbz + nc[:, 2]
+            gslot = jnp.take(bml_flat, jnp.clip(llin, 0, nbtot_l - 1),
+                             mode="clip")
+            lslot = gslot - dev * C_local
+            own_idx = jnp.where((gslot >= 0) & (lslot < R_local), lslot, rows)
+            pl_idx = nc[:, 1] * nbz + nc[:, 2]
+            idx = jnp.where(
+                in_slab, own_idx,
+                jnp.where(nc[:, 0] == bx0 - 1, R_local + pl_idx,
+                          jnp.where(nc[:, 0] == bx0 + nbx_local,
+                                    R_local + npl + pl_idx, rows)))
+            return jnp.where(ok, idx, rows)
+
+        own = jnp.where(used[:, None], raw_own.reshape(R_local, -1),
+                        NAN_PAIR).reshape(R_local, B, B, B // 2)
+        tab = assemble_tables(raw_ext, own, neighbor_slot)
+        pack_l = RenderPack(
+            tables=tab.reshape(R_local, 1, PTABLE),
+            coords=jnp.where(used[:, None], coords_r, -1),
+            n_active=jnp.sum(used.astype(jnp.int32)),
+            truncated=trunc_l,
+            global_transform=gt_r, color=None, brick_map=None,
+            config=cfg, brick_size=B, capacity=C_local)
+
+        # ---- march the local bricks over the FULL image -------------------
+        meta, tile_hit, ovf_tiles, ovf_pairs = build_pairs(
+            pack_l, pose_r, ds, pair_budget_local)
+        out = raycast_pairs(pack_l, meta, pose_r, ds, pair_budget_local,
+                            interpret)
+
+        # ---- cross-device first-crossing combine --------------------------
+        # The single-device kernel min-combines pairs per tile keyed on the
+        # bracket position; the cross-device reduction applies the same key
+        # over the per-device partial results (winner device's channels win;
+        # ties break to the lowest device id).
+        key = out[:, 0]                               # [T+1, 8, 128]
+        kmin = jax.lax.pmin(key, AXIS)
+        isw = key == kmin
+        devw = jax.lax.pmin(jnp.where(isw, dev, D), AXIS)
+        win = isw & (dev == devw)
+        out_g = jax.lax.psum(jnp.where(win[:, None], out, 0.0), AXIS)
+        tile_hit_g = jax.lax.pmax(tile_hit.astype(jnp.int32), AXIS)
+        ovf = jax.lax.pmax(
+            (ovf_pairs | ovf_tiles | trunc_l).astype(jnp.int32), AXIS)
+        return out_g, tile_hit_g, ovf
+
+    out_g, tile_hit_g, ovf = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )(bv.brick_map, bv.coords, bv.sdf, bv.weight, pose, bv.global_transform)
+
+    ch = _channels_from_out(cfg, ds, out_g, tile_hit_g > 0)
+    origins, dirs = camera_rays(cfg, pose, ds)
+    tsf = ch["t_star"]
+    r = dict(
+        hit_x=origins[:, 0] + tsf * dirs[:, 0],
+        hit_y=origins[:, 1] + tsf * dirs[:, 1],
+        hit_z=origins[:, 2] + tsf * dirs[:, 2],
+        normal_x=ch["nx"], normal_y=ch["ny"], normal_z=ch["nz"],
+        t_star=tsf, valid=ch["valid"], normal_valid=ch["nvalid"],
+    )
+    return assemble_view(cfg, pose, r, H, W), ovf > 0
+
+
+def render_view_volume_sharded(bv, pose, mesh: Mesh, downsample_by: int = 1,
+                               r_budget_local: int = 2048,
+                               pair_budget_local: int = 8192,
+                               interpret: bool = False):
+    """Render a SLAB-SHARDED brick volume without replicating it: each
+    device packs only its own slab's bricks (plus a one-brick-plane halo
+    received over ppermute), marches the Pallas kernel against its partial
+    volume, and the per-ray channels min-combine across the mesh — the
+    beyond-one-HBM render path (SURVEY §5; VERDICT r4 item 2/7).
+
+    ``bv`` must come from :func:`parallel.bricks.make_sharded_brick_volume`
+    (slot-partitioned arrays, [D] n_active). Colored render is not supported
+    on this path (the color planes would need their own halo exchange);
+    render from a merged volume for color. Returns (view, overflow)."""
+    D = int(mesh.shape[AXIS])
+    if bv.brick_size != 8:
+        raise ValueError("volume-sharded render needs 8^3 bricks")
+    if getattr(bv.n_active, "shape", ())[0:1] != (D,):
+        raise ValueError("bv is not slab-sharded for this mesh "
+                         "(make_sharded_brick_volume)")
+    return _render_volume_sharded_jit(bv, jnp.asarray(pose, jnp.float32),
+                                      mesh, downsample_by, r_budget_local,
+                                      pair_budget_local, interpret)
+
+
 def render_view_pallas_sharded(vol, pose, mesh: Mesh, downsample_by: int = 1,
                                colored: bool = False, pack=None,
                                r_budget: int = 4096, pair_budget: int = 32768,
@@ -132,6 +288,12 @@ def render_view_pallas_sharded(vol, pose, mesh: Mesh, downsample_by: int = 1,
             pack = make_render_pack(vol, grow_r_budget(vol, r_budget))
     else:
         pack = vol
+    # replicate onto the mesh (the source volume may be committed to one
+    # device, e.g. a merge_sharded result)
+    from jax.sharding import NamedSharding
+
+    rep = NamedSharding(mesh, P())
+    pack = jax.tree.map(lambda a: jax.device_put(a, rep), pack)
     D = int(mesh.shape[AXIS])
 
     attempts = 0
