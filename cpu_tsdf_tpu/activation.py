@@ -46,15 +46,25 @@ def _pow2_ceil(n: int) -> int:
 
 
 class DepthMips(NamedTuple):
-    """NaN-aware min/max depth pyramids, all levels packed flat."""
+    """NaN-aware min/max depth pyramids, all levels packed flat.
 
-    flat_min: jnp.ndarray   # [sum_l Hl*Wl]
+    Levels below ``base_level`` are not materialized: every consumer looks
+    up through :func:`_footprint_depth_bounds`, whose level choice
+    ``l = ceil(log2(span))`` is bounded below by the smallest possible
+    footprint span (a brick-radius sphere at max sensor range —
+    :func:`mip_base_level`), so finer levels can never be queried. Skipping
+    them turns the pyramid build from ~10 full-resolution halvings into one
+    block reduce + a tail of tiny halvings (the former cost ~0.9 ms/frame of
+    the 512^3 integrate, bench/frame_budget r5)."""
+
+    flat_min: jnp.ndarray   # [sum_{l>=base} Hl*Wl]
     flat_max: jnp.ndarray
-    offsets: jnp.ndarray    # int32 [L]
-    widths: jnp.ndarray     # int32 [L]  (level width Wp >> l)
-    n_levels: int
+    offsets: jnp.ndarray    # int32 [L-base]
+    widths: jnp.ndarray     # int32 [L-base]  (level width Wp >> l)
+    n_levels: int           # levels MATERIALIZED (after base_level)
     global_min: jnp.ndarray  # scalar
     global_max: jnp.ndarray
+    base_level: int = 0
 
 
 def mip_shapes(H: int, W: int) -> Sequence[Tuple[int, int]]:
@@ -69,10 +79,32 @@ def mip_shapes(H: int, W: int) -> Sequence[Tuple[int, int]]:
     return shapes
 
 
-def depth_mips(depth: jnp.ndarray) -> DepthMips:
-    """Build min/max mip pyramids over a depth image (NaN = no data)."""
+def mip_base_level(cfg: TSDFConfig, brick_size: int) -> int:
+    """Finest mip level any activation lookup can request.
+
+    Every footprint bound is taken for a sphere of at least brick bounding
+    radius (tile >= brick >= carve spheres all share the brick as the
+    smallest unit), and _sphere_footprint pads the pixel rect by >= 3 px
+    (floor-1/ceil+1 + inclusive span), so the span ``ceil(log2(...))``
+    feeding the level choice is bounded below by the footprint of a
+    brick-radius sphere at the FAR sensor plane. Underestimate the radius
+    (0.5 * B * min cell) for a conservative (smaller) result."""
+    r = 0.5 * brick_size * min(cfg.cell_size)
+    z_far = cfg.max_sensor_dist + 2.0 * r
+    span = 2.0 * r * min(cfg.focal_length_x, cfg.focal_length_y) / z_far + 3.0
+    return max(0, int(np.ceil(np.log2(span))))
+
+
+def depth_mips(depth: jnp.ndarray, base_level: int = 0) -> DepthMips:
+    """Build min/max mip pyramids over a depth image (NaN = no data).
+
+    ``base_level`` > 0 starts the pyramid at that level via one block
+    reduce — bit-identical to the full pyramid's level (min/max are
+    associative), just without materializing the unqueried fine levels
+    (callers pass :func:`mip_base_level`)."""
     H, W = depth.shape
     shapes = mip_shapes(H, W)
+    base_level = min(base_level, len(shapes) - 1)
     Hp, Wp = shapes[0]
     inf = jnp.float32(jnp.inf)
     if (Hp, Wp) == (H, W):
@@ -101,6 +133,20 @@ def depth_mips(depth: jnp.ndarray) -> DepthMips:
             a = red(jnp.stack([a[:, 0::2], a[:, 1::2]], 0), axis=0)
         return a
 
+    if base_level > 0:
+        # one block reduce to the base level: rows in a single reshape
+        # reduce, columns by repeated halving on the (now tiny) rows
+        hb, wb = shapes[base_level]
+        f = Hp // hb
+        dmin = jnp.min(dmin.reshape(hb, f, Wp), axis=1)
+        dmax = jnp.max(dmax.reshape(hb, f, Wp), axis=1)
+        w = Wp
+        while w > wb:
+            w //= 2
+            dmin = halve(dmin, hb, w, jnp.min)
+            dmax = halve(dmax, hb, w, jnp.max)
+    shapes = shapes[base_level:]
+
     mins, maxs = [dmin], [dmax]
     for (h, w) in shapes[1:]:
         mins.append(halve(mins[-1], h, w, jnp.min))
@@ -114,6 +160,7 @@ def depth_mips(depth: jnp.ndarray) -> DepthMips:
         n_levels=len(shapes),
         global_min=mins[-1].reshape(())[()],
         global_max=maxs[-1].reshape(())[()],
+        base_level=base_level,
     )
 
 
@@ -121,11 +168,13 @@ def _footprint_depth_bounds(mips: DepthMips, u0, u1, v0, v1, need_max=True):
     """Conservative (dmin, dmax) over pixel rect [u0,u1]x[v0,v1] (inclusive,
     already clamped to the padded image) via a 2x2 texel mip lookup."""
     span = jnp.maximum(jnp.maximum(u1 - u0, v1 - v0), 0) + 1
-    # smallest l with 2^l >= span  ->  rect covers <= 2 texels per axis
+    # smallest l with 2^l >= span  ->  rect covers <= 2 texels per axis.
+    # The base_level clamp can never bind (mip_base_level's span bound), so
+    # bounds are bit-identical to the full-pyramid lookup.
     l = jnp.ceil(jnp.log2(span.astype(jnp.float32))).astype(jnp.int32)
-    l = jnp.clip(l, 0, mips.n_levels - 1)
-    off = jnp.take(mips.offsets, l)
-    wl = jnp.take(mips.widths, l)
+    l = jnp.clip(l, mips.base_level, mips.base_level + mips.n_levels - 1)
+    off = jnp.take(mips.offsets, l - mips.base_level)
+    wl = jnp.take(mips.widths, l - mips.base_level)
     tu0, tu1 = u0 >> l, u1 >> l
     tv0, tv1 = v0 >> l, v1 >> l
 
@@ -249,13 +298,31 @@ def carve_candidate_slots(cfg: TSDFConfig, B: int, mips: DepthMips,
     cz = z0 + 0.5 * B * csz - cfg.zsize / 2
     r = 0.5 * float(np.sqrt((B * csx) ** 2 + (B * csy) ** 2 + (B * csz) ** 2))
     ccx, ccy, ccz = transform_points(pose_inv, cx, cy, cz)
-    usable, dmin, _ = _sphere_footprint(cfg, mips, ccx, ccy, ccz, r,
-                                        need_max=False)
     _, m_hi = _band_margins(cfg)
     in_sensor = (ccz + r >= cfg.min_sensor_dist) & (ccz - r <= cfg.max_sensor_dist)
-    # empty/NaN-only footprints give dmin = +inf: no pixel can update the
-    # brick, so it is NOT a carve candidate despite z_hi < inf
-    infront = usable & jnp.isfinite(dmin) & (ccz + r < dmin - m_hi)
+
+    # The mip gathers are the cost here (~1.1 ms over a 32k-slot capacity,
+    # bench/frame_budget r5) and slots allocate contiguously, so run the
+    # footprint lookup in chunks gated on chunk liveness: dead-tail chunks
+    # (capacity headroom) skip their gathers entirely. Bit-equal: skipped
+    # rows have live=False, masking them regardless.
+    C = coords.shape[0]
+    CH = 4096
+    parts = []
+    for k in range(0, C, CH):
+        lv = live[k:k + CH]
+        cck = (ccx[k:k + CH], ccy[k:k + CH], ccz[k:k + CH])
+
+        def do(cck=cck):
+            usable, dmin, _ = _sphere_footprint(cfg, mips, *cck, r,
+                                                need_max=False)
+            # empty/NaN-only footprints give dmin = +inf: no pixel can
+            # update the brick — NOT a carve candidate despite z_hi < inf
+            return usable & jnp.isfinite(dmin) & (cck[2] + r < dmin - m_hi)
+
+        parts.append(jax.lax.cond(
+            jnp.any(lv), do, lambda n=lv.shape[0]: jnp.zeros((n,), bool)))
+    infront = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
     return live & in_sensor & infront
 
 
@@ -401,7 +468,21 @@ def band_candidate_bricks(cfg: TSDFConfig, B: int, nb: Tuple[int, int, int],
     rz0 = rbz.astype(jnp.float32) * (B * csz)
     rcx, rcy, rcz, rr = cam_center_radius(rx0, ry0, rz0,
                                           rx0 + B * csx, ry0 + B * csy, rz0 + B * csz)
-    tight = rok & _band_test(cfg, mips, rcx, rcy, rcz, rr)
+    # chunk-gated like the carve pass: the compacted rough list is a valid
+    # prefix + -1 padding, so tail chunks (budget slack) skip their mip
+    # gathers; skipped rows have rok=False — bit-equal results
+    TCH = 2048
+    parts = []
+    for k in range(0, rok.shape[0], TCH):
+        rokk = rok[k:k + TCH]
+        args = (rcx[k:k + TCH], rcy[k:k + TCH], rcz[k:k + TCH], rr[k:k + TCH])
+
+        def do(rokk=rokk, args=args):
+            return rokk & _band_test(cfg, mips, *args)
+
+        parts.append(jax.lax.cond(
+            jnp.any(rokk), do, lambda n=rokk.shape[0]: jnp.zeros((n,), bool)))
+    tight = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
     cand, n_band = _compact(tight, rsafe, update_budget)
     overflow |= n_band > update_budget
     return cand, n_band, overflow

@@ -356,7 +356,8 @@ def _integrate_bricks_jit(vol: BrickVolume, depth, pose, rgb, split_key,
                           pallas_interpret: bool, pallas_window: bool,
                           pallas_band: int, pallas_extra: int) -> BrickVolume:
     from .activation import (_compact, band_candidate_bricks,
-                             carve_candidate_slots, depth_mips)
+                             carve_candidate_slots, depth_mips,
+                             mip_base_level)
 
     cfg = vol.config
     B = vol.brick_size
@@ -367,7 +368,7 @@ def _integrate_bricks_jit(vol: BrickVolume, depth, pose, rgb, split_key,
     # hierarchical band activation: budgeted candidate brick list directly
     # (no full-grid mask/cumsum — the former 2048^3 bottleneck)
     nbx, nby, nbz = vol.bricks_per_axis
-    mips = depth_mips(depth)
+    mips = depth_mips(depth, mip_base_level(cfg, B))
     bids, n_band, overflow = band_candidate_bricks(
         cfg, B, (nbx, nby, nbz), mips, pose_inv, update_budget)
     if cfg.num_random_splits > 1:

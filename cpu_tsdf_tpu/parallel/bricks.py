@@ -91,7 +91,8 @@ def _integrate_sharded_jit(bv: BrickVolume, depth, rgb, pose,
 
     def body(*args):
         from ..activation import (_compact, band_candidate_bricks,
-                                  carve_candidate_slots, depth_mips)
+                                  carve_candidate_slots, depth_mips,
+                                  mip_base_level)
         from ..bricks import carve_budget_for, fuse_brick_batch
 
         brick_map_l, n_active_l, coords_l, sdf_l, w_l, M_l, n_l = args[:7]
@@ -110,7 +111,7 @@ def _integrate_sharded_jit(bv: BrickVolume, depth, rgb, pose,
         # ---- slab-restricted band activation (zero collectives): each
         # device tests only tile columns overlapping its x-slab; the result
         # is bit-equal to the global candidate list filtered to the slab ----
-        mips = depth_mips(depth_r)
+        mips = depth_mips(depth_r, mip_base_level(cfg, B))
         cand, n_band, overflow = band_candidate_bricks(
             cfg, B, (nbx, nby, nbz), mips, pose_inv_r, budget_local,
             x_slab=(bx0, nbx_local))
