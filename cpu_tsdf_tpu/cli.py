@@ -55,6 +55,10 @@ def _integrate_parser() -> argparse.ArgumentParser:
     p.add_argument("--zero-nans", action="store_true",
                    help="Nans are represented as (0,0,0)")
     p.add_argument("--num-random-splits", type=int, default=1)
+    p.add_argument("--no-frustum-culling", action="store_true",
+                   help="Disable the 1.1x-FOV coarse-cell frustum cull "
+                        "(extension: parity testing against oracles that "
+                        "omit PCL FrustumCulling)")
     p.add_argument("--fx", type=float, default=None)
     p.add_argument("--fy", type=float, default=None)
     p.add_argument("--cx", type=float, default=None)
@@ -153,6 +157,7 @@ def _integrate_impl(argv=None) -> int:
         max_cell_size_z=args.max_cell_size,
         integrate_color=args.color,
         num_random_splits=args.num_random_splits,
+        frustum_culling=not args.no_frustum_culling,
     )
     log.info(f"Setting resolution: {res} with grid size {args.volume_size}")
 

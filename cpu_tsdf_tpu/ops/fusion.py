@@ -26,8 +26,13 @@ Semantics replicated exactly from the reference (per finest voxel):
 Deliberate divergence (documented, also SURVEY.md quirk list): the reference
 stores coarse octree cells far outside the truncation band with one shared
 sample; the dense grid gives every voxel its own projective sample. Fields are
-identical wherever the reference subdivides to the finest level — i.e. the
-entire near-surface band that determines rendering and meshing.
+identical wherever the reference's leaves have a purely finest-level history.
+When a node splits LATE — a trajectory brings a region into the truncation
+band only after coarse-phase observations — the reference's split() creates
+fresh children (octree.cpp:244-267), discarding the pre-split accumulation,
+while the dense grid keeps every per-voxel sample; those (rare) leaves carry
+more history here than in the reference (quantified: <2% of leaves on the
+real-scene trajectory golden, tests/test_realscene_golden.py).
 """
 
 from __future__ import annotations
