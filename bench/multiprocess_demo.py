@@ -18,7 +18,9 @@ sys.path.insert(0, REPO)
 
 
 def worker(proc_id: int, nproc: int, port: str) -> int:
-    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    devs_per_proc = int(os.environ.get("DEVS", "2"))
+    os.environ["XLA_FLAGS"] = \
+        f"--xla_force_host_platform_device_count={devs_per_proc}"
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
     import jax
 
@@ -32,7 +34,7 @@ def worker(proc_id: int, nproc: int, port: str) -> int:
     assert jax.process_count(backend="cpu") == nproc, \
         jax.process_count(backend="cpu")
     cpus = jax.devices("cpu")
-    assert len(cpus) == 2 * nproc, cpus
+    assert len(cpus) == devs_per_proc * nproc, cpus
     jax.config.update("jax_default_device", [d for d in cpus
                                              if d.process_index == proc_id][0])
     mesh = dist.make_mesh(cpus)
@@ -85,9 +87,42 @@ def worker(proc_id: int, nproc: int, port: str) -> int:
     hd = float(jnp.sum(bh.sdf * bh.weight))
     assert abs(hsum - wsum) < 1e-3 * max(1.0, abs(wsum)), (hsum, wsum)
 
+    # ---- merge across the pod (VERDICT r4 item 6): reshard the hybrid
+    # volume fully-replicated (ICI gather within a slice, DCN broadcast),
+    # read the local replica as a plain single-device BrickVolume, and run a
+    # single-device op (the XLA renderView) on it — every process must see
+    # the identical merged render.
+    import dataclasses
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from cpu_tsdf_tpu import render_view
+    from cpu_tsdf_tpu.bricks import BrickVolume
+
+    rep = NamedSharding(hmesh, P())
+    rep_f = jax.jit(lambda t: t, out_shardings=rep)
+    tree = rep_f((bh.brick_map, bh.coords, bh.sdf, bh.weight, bh.M,
+                  bh.nsample))
+    bm_h, co_h, sdf_h, w_h, M_h, ns_h = (
+        np.asarray(t.addressable_data(0)) for t in tree)
+    merged = BrickVolume(
+        brick_map=jnp.asarray(bm_h), n_active=jnp.int32(n_act),
+        coords=jnp.asarray(co_h), sdf=jnp.asarray(sdf_h),
+        weight=jnp.asarray(w_h), M=jnp.asarray(M_h),
+        nsample=jnp.asarray(ns_h), color=None,
+        global_transform=jnp.eye(4, dtype=jnp.float32),
+        overflowed=jnp.asarray(False), config=cfg, brick_size=8,
+        capacity=bh.capacity)
+    r = render_view(merged, pose)
+    dep = np.asarray(r.depth)
+    n_valid = int(np.isfinite(dep).sum())
+    dsum_r = float(np.nansum(dep))
+
     print(f"CHECK proc={proc_id} wsum={wsum:.6f} dsum={dsum:.6f} "
           f"n_active={n_act} overflow={ovf} "
-          f"hybrid_wsum={hsum:.6f} hybrid_dsum={hd:.6f}", flush=True)
+          f"hybrid_wsum={hsum:.6f} hybrid_dsum={hd:.6f} "
+          f"merged_render_valid={n_valid} merged_render_sum={dsum_r:.4f}",
+          flush=True)
     return 0
 
 
@@ -118,7 +153,8 @@ def coordinator(nproc: int = 2, port: str = "39217") -> int:
         if rc != 0:
             sys.stderr.write(err[-2000:] + "\n")
     if not ok or len(checks) != nproc or len(set(checks)) != 1 \
-            or "n_active=0" in checks[0] or "overflow=True" in checks[0]:
+            or "n_active=0" in checks[0] or "overflow=True" in checks[0] \
+            or "merged_render_valid=0 " in checks[0]:
         print(f"MULTIPROCESS FAIL: {checks}", flush=True)
         return 1
     print(f"MULTIPROCESS OK: {nproc} processes agree: {checks[0]}", flush=True)
@@ -128,4 +164,5 @@ def coordinator(nproc: int = 2, port: str = "39217") -> int:
 if __name__ == "__main__":
     if len(sys.argv) >= 4:
         sys.exit(worker(int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]))
-    sys.exit(coordinator(int(os.environ.get("NPROC", "2"))))
+    sys.exit(coordinator(int(os.environ.get("NPROC", "2")),
+                         os.environ.get("PORT", "39217")))

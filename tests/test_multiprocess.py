@@ -25,3 +25,17 @@ def test_multiprocess_sharded_integrate():
                        capture_output=True, text=True)
     assert r.returncode == 0 and "MULTIPROCESS OK" in r.stdout, (
         r.stdout[-2000:], r.stderr[-2000:])
+
+
+@pytest.mark.slow
+def test_multiprocess_hybrid_2x4():
+    """2 processes x 4 devices: the pod-shaped DCN x ICI hybrid mesh runs the
+    sharded integrate, and the cross-DCN merge renders identically on every
+    process (VERDICT r4 item 6)."""
+    env = dict(os.environ, NPROC="2", DEVS="4", JAX_PLATFORMS="cpu",
+               PORT="39219")
+    env.pop("XLA_FLAGS", None)
+    r = subprocess.run([sys.executable, SCRIPT], env=env, timeout=900,
+                       capture_output=True, text=True)
+    assert r.returncode == 0 and "MULTIPROCESS OK" in r.stdout, (
+        r.stdout[-2000:], r.stderr[-2000:])

@@ -12,8 +12,6 @@ kernel invocation (same static config -> one trace); the real-TPU compiled
 parity check runs in bench.py where a chip is present.
 """
 
-import os
-
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -122,9 +120,6 @@ def test_kernel_prebuilt_pack_and_fallbacks(scene, renders):
                                   np.asarray(rf.depth))
 
 
-@pytest.mark.slow
-@pytest.mark.skipif(os.environ.get("TSDF_TEST_KERNEL_DS") != "1",
-                    reason="extra kernel trace (~3 min); covered by the TPU bench")
 def test_kernel_downsample(scene):
     cfg, bv, pose, depth = scene
     rp = render_view_pallas(bv, pose, downsample_by=2, r_budget=1024,
