@@ -129,6 +129,7 @@ def tilted_pose():
 
 
 PEAK_HBM_GBPS = 819.0  # TPU v5e per-chip HBM2 bandwidth
+PEAK_MXU_BF16_TFLOPS = 197.0  # TPU v5e per-chip bf16 MXU peak
 
 # loopback ports the axon relay listens on when the TPU tunnel is alive
 _RELAY_PORTS = {8082, 8083, 8087, 8092}
@@ -243,6 +244,18 @@ def main():
     extra["integrate_hbm_util"] = round(bytes_int * fps / (PEAK_HBM_GBPS * 1e9), 4)
     log(f"integrate roofline: ~{bytes_int/1e6:.1f} MB/frame -> "
         f"{100*extra['integrate_hbm_util']:.2f}% of peak HBM")
+
+    # modeled MXU utilization (the kernel's cost driver is the one-hot depth
+    # lookup: per brick pass, 4 sublane chunks x 3 bit-exactness split
+    # planes of [band, WB] @ [WB, 128] bf16 dots — ops/pallas_fusion.py)
+    from cpu_tsdf_tpu.ops.pallas_fusion import BAND_ROWS, DEPTH_WINDOW_COLS
+
+    flops_frame = nb_act * 4 * 3 * 2 * BAND_ROWS * DEPTH_WINDOW_COLS * 128
+    extra["integrate_mxu_util"] = round(
+        flops_frame * fps / (PEAK_MXU_BF16_TFLOPS * 1e12), 4)
+    log(f"integrate MXU model: ~{flops_frame/1e9:.1f} GFLOP/frame "
+        f"(window {DEPTH_WINDOW_COLS}) -> "
+        f"{100*extra['integrate_mxu_util']:.2f}% of peak bf16 MXU")
 
     if profile:
         jax.profiler.stop_trace()
@@ -386,6 +399,77 @@ def main():
             f"host tris {len(fc)})")
     except Exception as e:
         log(f"mc bench failed: {e!r}")
+
+    # ---- trajectory: 48-pose colored orbit (VERDICT r4 'weak' item 4) -----
+    # The headline integrates ONE static frame; real trajectories pay
+    # per-frame activation of new bricks, the carve stage, color fusion, and
+    # a render-pack rebuild per pose. Frames are noisy (1.5 mm gaussian + 5%
+    # dropouts) so the surface keeps moving slightly, like a real sensor.
+    if full:
+        try:
+            from cpu_tsdf_tpu.synthetic import orbit_pose, sphere_depth_world
+
+            cfgt = cfg.with_updates(integrate_color=True, color_mode="RGB")
+            n_poses = 48
+            rng = np.random.default_rng(7)
+            uu, vv = np.meshgrid(np.arange(cfgt.image_width),
+                                 np.arange(cfgt.image_height))
+            rgb_t = jnp.asarray(np.stack([uu % 256, vv % 256, (uu + vv) % 256],
+                                         -1).astype(np.float32))
+            poses_h, depths_h = [], []
+            for i in range(n_poses):
+                m = orbit_pose(2.0 * np.pi * i / n_poses)
+                d = sphere_depth_world(cfgt, m, radius=0.5)
+                d = d + rng.normal(0.0, 0.0015, d.shape).astype(np.float32)
+                d = np.where(rng.uniform(size=d.shape) < 0.05, np.nan, d)
+                poses_h.append(m)
+                depths_h.append(d.astype(np.float32))
+            poses_t = jnp.asarray(np.stack(poses_h))       # one H2D upload
+            depths_t = jnp.asarray(np.stack(depths_h))
+            bvt = make_brick_volume(cfgt, 8, 1 << 13)
+            t0 = time.time()
+            bvt = integrate_bricks(bvt, depths_t[0], poses_t[0], rgb_t,
+                                   budget, use_pallas, False)
+            _ = float(fence(bvt.weight))
+            log(f"traj compile+first: {time.time()-t0:.1f}s")
+            for i in range(1, n_poses):   # first orbit builds the full shell
+                bvt = integrate_bricks(bvt, depths_t[i], poses_t[i], rgb_t,
+                                       budget, use_pallas, False)
+            _ = float(fence(bvt.weight))
+            t0 = time.time()
+            for _ in range(2):
+                for i in range(n_poses):
+                    bvt = integrate_bricks(bvt, depths_t[i], poses_t[i],
+                                           rgb_t, budget, use_pallas, False)
+            _ = float(fence(bvt.weight))
+            traj_fps = 2 * n_poses / (time.time() - t0)
+            extra["integrate_traj_fps"] = round(traj_fps, 2)
+            log(f"trajectory integrate: {traj_fps:.1f} fps over "
+                f"{int(bvt.n_active)} shell bricks; "
+                f"overflow={bool(bvt.overflowed)}")
+
+            from cpu_tsdf_tpu.ops.pallas_raycast import grow_r_budget
+            rbt = grow_r_budget(bvt, 4096)
+            t0 = time.time()
+            packt = make_render_pack(bvt, rbt)
+            rest, ot1, ot2 = _render_pallas_jit(packt, poses_t[0], 1, 32768,
+                                                False, False)
+            _ = float(fence(rest.depth))
+            log(f"traj render compile+first: {time.time()-t0:.1f}s "
+                f"r_budget={rbt} overflow={bool(ot1 | ot2)}")
+            t0 = time.time()
+            for i in range(n_poses):      # pack REBUILT at every pose
+                packt = make_render_pack(bvt, rbt)
+                rest, ot1, ot2 = _render_pallas_jit(packt, poses_t[i], 1,
+                                                    32768, False, False)
+            ovf_t = bool(ot1 | ot2)
+            _ = float(fence(rest.depth))
+            traj_rays = n_poses * n_rays / (time.time() - t0)
+            extra["render_traj_rays_per_s"] = round(traj_rays)
+            log(f"trajectory render: {traj_rays/1e6:.2f} M rays/s "
+                f"(pack rebuild per pose; overflow={ovf_t})")
+        except Exception as e:
+            log(f"trajectory bench failed: {e!r}")
 
     # ---- 2048^3: the reference CLI's default working point ----------------
     if full:

@@ -37,6 +37,42 @@ def sphere_depth(cfg: TSDFConfig, center=(0.0, 0.0, 1.5), radius=0.5) -> np.ndar
     return depth.astype(np.float32)
 
 
+def sphere_depth_world(cfg: TSDFConfig, pose, center=(0.0, 0.0, 0.0),
+                       radius: float = 0.5) -> np.ndarray:
+    """Depth image of a WORLD-frame sphere seen from camera-to-world `pose`
+    (trajectory scenes: the sphere stays put while the camera orbits)."""
+    pose = np.asarray(pose, np.float64)
+    dx, dy = _pixel_rays(cfg)
+    dirs = np.stack([dx, dy, np.ones_like(dx)], -1)
+    n = np.linalg.norm(dirs, axis=-1, keepdims=True)
+    d_w = (dirs / n) @ pose[:3, :3].T
+    o = pose[:3, 3] - np.asarray(center, np.float64)
+    b = 2.0 * d_w @ o
+    c = o @ o - radius * radius
+    disc = b * b - 4.0 * c
+    t = (-b - np.sqrt(np.maximum(disc, 0.0))) / 2.0
+    hit = (disc > 0) & (t > 1e-3)
+    # depth = z in the CAMERA frame = t * unit_dir_z
+    depth = np.where(hit, t * (dirs[..., 2] / n[..., 0]), np.nan)
+    return depth.astype(np.float32)
+
+
+def orbit_pose(theta: float, orbit_radius: float = 1.0,
+               bob: float = 0.08) -> np.ndarray:
+    """Camera on a circle in the x-z plane looking at the origin (y up),
+    with a small vertical bob for pose variety."""
+    c = np.array([orbit_radius * np.sin(theta),
+                  bob * np.sin(2.0 * theta),
+                  -orbit_radius * np.cos(theta)])
+    zax = -c / np.linalg.norm(c)
+    xax = np.cross([0.0, 1.0, 0.0], zax)
+    xax /= np.linalg.norm(xax)
+    yax = np.cross(zax, xax)
+    m = np.eye(4)
+    m[:3, 0], m[:3, 1], m[:3, 2], m[:3, 3] = xax, yax, zax, c
+    return m.astype(np.float32)
+
+
 def plane_depth(cfg: TSDFConfig, z0: float = 1.5) -> np.ndarray:
     """Depth image of a fronto-parallel plane at z = z0."""
     dx, _ = _pixel_rays(cfg)
