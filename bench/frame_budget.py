@@ -110,6 +110,11 @@ def main():
     mips_j = jax.jit(depth_mips)
     t_mips, _ = timed(lambda s: mips_j(depth), None)
     out["mips_ms"] = round(t_mips * 1000, 3)
+    base = mip_base_level(cfg, 8)
+    out["mip_base_level"] = base
+    mips_b = jax.jit(lambda d: depth_mips(d, base))
+    t_mb, _ = timed(lambda s: mips_b(depth), None)
+    out["mips_base_ms"] = round(t_mb * 1000, 3)
 
     # ---- activation sub-stages (band vs carve, mips held fixed) -----------
     mips_c = jax.jit(lambda d: depth_mips(d, mip_base_level(cfg, 8)))(depth)
