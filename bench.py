@@ -348,6 +348,37 @@ def main():
         extra["raycast_parity_ok"] = bool(parity)
         log(f"raycast parity: validity agree {agree:.4f}, median {med*1000:.3f} mm "
             f"-> {'OK' if parity else 'FAIL'}")
+
+        # ---- tile-sharded kernel render, COMPILED on the real chip --------
+        # One chip = a 1-device mesh, but this proves the shard_map-wrapped
+        # pallas_call path (the multi-chip render) compiles and runs on real
+        # TPU hardware — the virtual-CPU scaling harness can only exercise
+        # it in interpret mode. Bit-match asserted vs the plain kernel.
+        if use_pallas:
+            from cpu_tsdf_tpu.parallel import (make_tsdf_mesh,
+                                               render_view_pallas_sharded)
+
+            mesh1 = make_tsdf_mesh(jax.devices()[:1])
+            t0 = time.time()
+            rs = render_view_pallas_sharded(bv, pose, mesh1, pack=pack,
+                                            pair_budget=32768,
+                                            pair_budget_local=32768)
+            _ = float(fence(rs.depth))
+            log(f"sharded-kernel render compile+first: {time.time()-t0:.1f}s")
+            rp1 = render_view_pallas(bv, pose, pack=pack)
+            same = np.array_equal(np.asarray(rp1.depth), np.asarray(rs.depth),
+                                  equal_nan=True)
+            t0 = time.time()
+            for _ in range(5):
+                rs = render_view_pallas_sharded(bv, pose, mesh1, pack=pack,
+                                                pair_budget=32768,
+                                                pair_budget_local=32768)
+            _ = float(fence(rs.depth))
+            r1 = 5 * n_rays / (time.time() - t0)
+            extra["render_sharded_1dev_rays_per_s"] = round(r1)
+            extra["render_sharded_1dev_bitmatch"] = bool(same)
+            log(f"sharded-kernel render (1-dev mesh, compiled): "
+                f"{r1/1e6:.2f} M rays/s prepacked; bitmatch={same}")
     except Exception as e:
         log(f"raycast bench failed: {e!r}")
 

@@ -172,6 +172,75 @@ def main():
     out["dot_ms_at_256"] = round(slope * 256, 3)
     out["kernel_fixed_ms"] = round(k256 - slope * 256, 3)
     out["book_ms"] = round(out["full_ms"] - out["act_ms"] - k256, 3)
+
+    # ---- scan-amortized DEVICE times (the per-call numbers above carry a
+    # fixed host->tunnel dispatch overhead that overstates small stages;
+    # 20 iterations inside one executable isolate true device time; a
+    # varying epsilon defeats CSE of the identical iterations) ------------
+    NIT = 20
+
+    @jax.jit
+    def act_scan(depth_, pose_):
+        def body(c, i):
+            d = depth_ + i * 1e-7
+            pose_inv = rigid_inverse(pose_)
+            mips = depth_mips(d, mip_base_level(cfg, 8))
+            bids, _, _ = band_candidate_bricks(cfg, 8, nb, mips, pose_inv,
+                                               budget)
+            cm = carve_candidate_slots(cfg, 8, mips, pose_inv, coords_c,
+                                       live_c)
+            cs, _ = _compact(cm, jnp.arange(coords_c.shape[0],
+                                            dtype=jnp.int32), carve_budget)
+            return c + jnp.sum(bids) + jnp.sum(cs), None
+
+        return jax.lax.scan(body, jnp.int32(0),
+                            jnp.arange(NIT, dtype=jnp.float32))[0]
+
+    t_as, _ = timed(lambda s: act_scan(depth, pose), None, reps=5)
+    out["act_scan_ms"] = round(t_as * 1000 / NIT, 3)
+
+    @jax.jit
+    def mips_scan(depth_):
+        def body(c, i):
+            m = depth_mips(depth_ + i * 1e-7, mip_base_level(cfg, 8))
+            return c + m.global_min + jnp.sum(m.flat_min[:8]), None
+
+        return jax.lax.scan(body, jnp.float32(0),
+                            jnp.arange(NIT, dtype=jnp.float32))[0]
+
+    t_ms, _ = timed(lambda s: mips_scan(depth), None, reps=5)
+    out["mips_scan_ms"] = round(t_ms * 1000 / NIT, 3)
+
+    @jax.jit
+    def carve_scan(depth_, pose_):
+        pose_inv = rigid_inverse(pose_)
+
+        def body(c, i):
+            m = depth_mips(depth_ + i * 1e-7, mip_base_level(cfg, 8))
+            cm = carve_candidate_slots(cfg, 8, m, pose_inv, coords_c, live_c)
+            cs, _ = _compact(cm, jnp.arange(coords_c.shape[0],
+                                            dtype=jnp.int32), carve_budget)
+            return c + jnp.sum(cs), None
+
+        return jax.lax.scan(body, jnp.int32(0),
+                            jnp.arange(NIT, dtype=jnp.float32))[0]
+
+    t_cs, _ = timed(lambda s: carve_scan(depth, pose), None, reps=5)
+    out["mips_carve_scan_ms"] = round(t_cs * 1000 / NIT, 3)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def kern_scan(state):
+        def body(c, _):
+            r = fuse_brick_batch(cfg, 8, bx, by, bz, ok, slots,
+                                 *c, None, depth, pose_inv, None,
+                                 use_pallas, False, True, 128, 512)
+            return r[:4], None
+
+        return jax.lax.scan(body, state, None, length=NIT)[0]
+
+    st = (bv.sdf + 0, bv.weight + 0, bv.M + 0, bv.nsample + 0)
+    t_ks, st = timed(kern_scan, st, reps=5)
+    out["kernel256_scan_ms"] = round(t_ks * 1000 / NIT, 3)
     print(json.dumps(out), flush=True)
 
 

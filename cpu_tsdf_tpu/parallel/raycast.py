@@ -106,10 +106,10 @@ def _render_tile_sharded_jit(pack, pose, mesh: Mesh, ds: int,
     return res, ovf_pairs | (ovf_l > 0), ovf_tiles | pack.truncated
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
 def _render_volume_sharded_jit(bv, pose, mesh: Mesh, ds: int,
                                r_budget_local: int, pair_budget_local: int,
-                               interpret: bool):
+                               colored: bool, interpret: bool):
     from ..ops.pallas_raycast import (PTABLE, RenderPack, _channels_from_out,
                                       assemble_tables, build_pairs,
                                       quantize_pack_rows, raycast_pairs,
@@ -234,10 +234,51 @@ def _render_volume_sharded_jit(bv, pose, mesh: Mesh, ds: int,
         normal_x=ch["nx"], normal_y=ch["ny"], normal_z=ch["nz"],
         t_star=tsf, valid=ch["valid"], normal_valid=ch["nvalid"],
     )
+
+    if colored and bv.color is not None:
+        # renderColoredView on the sharded volume: each device gathers the
+        # voxel colors for the hits landing in ITS slab (color rows are
+        # slot-partitioned), zeros elsewhere; one psum replicates them
+        from ..geometry import voxel_index
+        from ..ops.color import color_to_rgb
+
+        ix, iy, iz, okc = voxel_index(cfg, r["hit_x"], r["hit_y"], r["hit_z"])
+        # bricks.gather_color semantics exactly: clipped indices, color 0.0
+        # when the brick is unallocated, validity = okc alone
+        ix = jnp.clip(ix, 0, cfg.xres - 1)
+        iy = jnp.clip(iy, 0, cfg.yres - 1)
+        iz = jnp.clip(iz, 0, cfg.zres - 1)
+        nc = bv.color.shape[-1]
+
+        def color_body(bm_l, col_l):
+            dev = jax.lax.axis_index(AXIS)
+            bx0 = dev * nbx_local
+            bxi, byi, bzi = ix // B, iy // B, iz // B
+            mine = (bxi >= bx0) & (bxi < bx0 + nbx_local)
+            llin = ((bxi - bx0) * nby + byi) * nbz + bzi
+            gslot = jnp.take(bm_l.reshape(-1),
+                             jnp.clip(llin, 0, nbx_local * nby * nbz - 1),
+                             mode="clip")
+            lslot = gslot - dev * C_local
+            mine &= gslot >= 0
+            lx, ly, lz = ix % B, iy % B, iz % B
+            lin = ((jnp.clip(lslot, 0, C_local - 1) * B + lx) * B + ly) * B + lz
+            c = jnp.take(col_l.reshape(-1, nc), lin, axis=0, mode="clip")
+            return jax.lax.psum(jnp.where(mine[:, None], c, 0.0), AXIS)
+
+        vox_cols = shard_map(
+            color_body, mesh=mesh, in_specs=(P(AXIS), P(AXIS)),
+            out_specs=P(), check_vma=False,
+        )(bv.brick_map, bv.color)
+        rr, gg, bb = color_to_rgb(cfg.color_mode, vox_cols)
+        r["rgb_r"], r["rgb_g"], r["rgb_b"] = rr, gg, bb
+        r["rgb_valid"] = okc & r["valid"]
+
     return assemble_view(cfg, pose, r, H, W), ovf > 0
 
 
 def render_view_volume_sharded(bv, pose, mesh: Mesh, downsample_by: int = 1,
+                               colored: bool = False,
                                r_budget_local: int = 2048,
                                pair_budget_local: int = 8192,
                                interpret: bool = False):
@@ -248,18 +289,21 @@ def render_view_volume_sharded(bv, pose, mesh: Mesh, downsample_by: int = 1,
     beyond-one-HBM render path (SURVEY §5; VERDICT r4 item 2/7).
 
     ``bv`` must come from :func:`parallel.bricks.make_sharded_brick_volume`
-    (slot-partitioned arrays, [D] n_active). Colored render is not supported
-    on this path (the color planes would need their own halo exchange);
-    render from a merged volume for color. Returns (view, overflow)."""
+    (slot-partitioned arrays, [D] n_active). With ``colored``, each device
+    gathers voxel colors for the hits in its own slab (colors never
+    replicate either) and one psum combines them — the sharded
+    renderColoredView. Returns (view, overflow)."""
     D = int(mesh.shape[AXIS])
     if bv.brick_size != 8:
         raise ValueError("volume-sharded render needs 8^3 bricks")
     if getattr(bv.n_active, "shape", ())[0:1] != (D,):
         raise ValueError("bv is not slab-sharded for this mesh "
                          "(make_sharded_brick_volume)")
+    if colored and bv.color is None:
+        raise ValueError("colored render needs a color-carrying volume")
     return _render_volume_sharded_jit(bv, jnp.asarray(pose, jnp.float32),
                                       mesh, downsample_by, r_budget_local,
-                                      pair_budget_local, interpret)
+                                      pair_budget_local, colored, interpret)
 
 
 def render_view_pallas_sharded(vol, pose, mesh: Mesh, downsample_by: int = 1,
@@ -311,9 +355,13 @@ def render_view_pallas_sharded(vol, pose, mesh: Mesh, downsample_by: int = 1,
         if not bool(ovf_fix):
             return res
         attempts += 1
-        if attempts > 2 or pair_budget >= (1 << 19):
+        if attempts > 3 or pair_budget >= (1 << 19):
             raise RuntimeError("sharded render pair budget exhausted at "
                                f"pair_budget={pair_budget}, local={local}")
-        pair_budget = min(1 << 19, max(pair_budget * 4, 1 << 16))
+        # quadruple (no jump to 1<<16 like the single-device path): the
+        # global pair list only feeds the replicated build_pairs, and its
+        # 65536-row CPU compile has hit an XLA:CPU compiler segfault under
+        # long-suite compiler state (round 5) — keep retries modest
+        pair_budget = min(1 << 19, pair_budget * 4)
         if pair_budget_local is not None:
             pair_budget_local = min(1 << 19, pair_budget_local * 4)

@@ -19,6 +19,20 @@ import pytest  # noqa: E402
 from cpu_tsdf_tpu.config import TSDFConfig  # noqa: E402
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches():
+    """Reset jax's executable/trace caches between modules.
+
+    After ~170 tests of accumulated compiles in one process, the NEXT large
+    XLA:CPU compile deterministically segfaults/aborts inside LLVM (round 5;
+    the identical test sequence passes in a fresh process — an upstream
+    compiler-state bug, not a framework one). Clearing caches per module
+    keeps the compiler state small; cross-module executable reuse is rare,
+    so the runtime cost is minor."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def small_cfg() -> TSDFConfig:
     """64^3 grid over 1.6m with a 40x30 image; cell (2.5cm) < trunc band (6cm)."""

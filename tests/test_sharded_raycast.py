@@ -81,24 +81,72 @@ def test_sharded_kernel_bitmatches_single(scene, single):
     assert np.isfinite(np.asarray(rs.depth)).sum() > 800
 
 
-def test_sharded_kernel_local_budget_overflow_grows(scene, single):
+def test_sharded_kernel_local_budget_overflow_grows():
     """A too-small per-device pair budget must retry with a grown budget and
-    still match (never silently drop pairs)."""
-    cfg, bv, sb, pose, mesh8 = scene
-    rs = render_view_pallas_sharded(bv, pose, mesh8, colored=True,
-                                    r_budget=2048, pair_budget=4096,
-                                    pair_budget_local=256, interpret=True)
-    np.testing.assert_array_equal(np.asarray(single.depth),
-                                  np.asarray(rs.depth))
+    still match (never silently drop pairs).
+
+    Runs in a SUBPROCESS: the retry's fresh jit trace deterministically
+    segfaults XLA:CPU's LLVM compile when issued after the full suite's
+    ~170 tests of accumulated compiler state (round 5; the identical
+    sequence passes in a fresh process — an upstream compiler bug, not a
+    framework one)."""
+    import os
+    import subprocess
+    import sys
+
+    script = r"""
+import os
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+import jax
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
+import jax.numpy as jnp
+import numpy as np
+from cpu_tsdf_tpu.config import TSDFConfig
+from cpu_tsdf_tpu.bricks import integrate_bricks, make_brick_volume
+from cpu_tsdf_tpu.parallel import make_tsdf_mesh, render_view_pallas_sharded
+from cpu_tsdf_tpu.synthetic import sphere_depth
+
+cfg = TSDFConfig(
+    xres=64, yres=64, zres=64, xsize=1.6, ysize=1.6, zsize=1.6,
+    max_dist_pos=0.06, max_dist_neg=0.06, min_sensor_dist=0.1,
+    max_sensor_dist=3.0, image_width=32, image_height=24,
+    focal_length_x=28.0, focal_length_y=28.0,
+    principal_point_x=16.0, principal_point_y=12.0,
+    max_cell_size_x=0.4, max_cell_size_y=0.4, max_cell_size_z=0.4)
+pose = np.eye(4, dtype=np.float32); pose[2, 3] = -0.9
+depth = jnp.asarray(sphere_depth(cfg, center=(0.01, -0.02, 0.9), radius=0.3))
+bv = make_brick_volume(cfg, 8, 512)
+bv = integrate_bricks(bv, depth, jnp.asarray(pose))
+mesh = make_tsdf_mesh(jax.devices("cpu")[:2])
+ok = render_view_pallas_sharded(bv, pose, mesh, r_budget=512,
+                                pair_budget=1024, interpret=True)
+grown = render_view_pallas_sharded(bv, pose, mesh, r_budget=512,
+                                   pair_budget=1024, pair_budget_local=16,
+                                   interpret=True)
+d0, d1 = np.asarray(ok.depth), np.asarray(grown.depth)
+assert np.isfinite(d0).sum() > 50
+np.testing.assert_array_equal(d0, d1)
+print("OVERFLOW_GROW_OK")
+"""
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    r = subprocess.run([sys.executable, "-c", script], env=env, timeout=900,
+                       capture_output=True, text=True,
+                       cwd=os.path.dirname(os.path.dirname(
+                           os.path.abspath(__file__))))
+    assert r.returncode == 0 and "OVERFLOW_GROW_OK" in r.stdout, (
+        r.stdout[-1500:], r.stderr[-1500:])
 
 
 def test_volume_sharded_render_matches(scene, single):
     """Beyond-one-HBM path: each device packs only its slab (256 table rows
     < the live brick total), halo planes ride ppermute, channels min-combine
-    across the mesh — output equals the replicated-volume kernel render."""
+    across the mesh — output equals the replicated-volume kernel render,
+    including the slab-gathered colors (colors never replicate either)."""
     cfg, bv, sb, pose, mesh8 = scene
     assert int(np.asarray(sb.n_active).sum()) > 256  # no device holds it all
-    rs, ovf = render_view_volume_sharded(sb, pose, mesh8, r_budget_local=256,
+    rs, ovf = render_view_volume_sharded(sb, pose, mesh8, colored=True,
+                                         r_budget_local=256,
                                          pair_budget_local=2048,
                                          interpret=True)
     assert not bool(ovf)
@@ -106,3 +154,4 @@ def test_volume_sharded_render_matches(scene, single):
                                   np.asarray(rs.depth))
     np.testing.assert_array_equal(np.asarray(single.normals),
                                   np.asarray(rs.normals))
+    np.testing.assert_array_equal(np.asarray(single.rgb), np.asarray(rs.rgb))
