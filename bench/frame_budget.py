@@ -30,7 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from cpu_tsdf_tpu import TSDFConfig
-from cpu_tsdf_tpu.activation import (_compact, band_candidate_bricks,
+from cpu_tsdf_tpu.activation import (_compact_chunked as _compact,
+                                     band_candidate_bricks,
                                      carve_candidate_slots, depth_mips,
                                      mip_base_level)
 from cpu_tsdf_tpu.bricks import (carve_budget_for, fuse_brick_batch,

@@ -338,6 +338,40 @@ def _compact(mask_flat, ids, budget: int):
     return out, n
 
 
+def _compact_chunked(mask_flat, ids, budget: int, chunk: int = 4096):
+    """:func:`_compact` with chunk-gated work: per-chunk counts come from a
+    cheap blocked reduce, then only chunks containing ANY selected element
+    run their local cumsum + scatter (offset by the preceding chunks'
+    counts). Bit-identical output; the input masks here are live-prefix
+    lists over mostly-dead static budgets, so typically one chunk pays."""
+    C = mask_flat.shape[0]
+    if C <= 2 * chunk:
+        return _compact(mask_flat, ids, budget)
+    pad = (-C) % chunk
+    flat = mask_flat.astype(jnp.int32)
+    if pad:
+        flat_p = jnp.concatenate([flat, jnp.zeros((pad,), jnp.int32)])
+    else:
+        flat_p = flat
+    nch = flat_p.shape[0] // chunk
+    counts = jnp.sum(flat_p.reshape(nch, chunk), axis=1)
+    offs = jnp.cumsum(counts) - counts
+    n = jnp.sum(counts)
+    out = jnp.full((budget + 1,), -1, jnp.int32)
+    for k in range(nch):
+        e = min((k + 1) * chunk, C)
+        mk = flat[k * chunk:e]
+        idk = ids[k * chunk:e]
+
+        def do(o, mk=mk, idk=idk, k=k):
+            rank = jnp.cumsum(mk) - 1 + offs[k]
+            tgt = jnp.where((mk > 0) & (rank < budget), rank, budget + 1)
+            return o.at[tgt].set(idk, mode="drop", unique_indices=True)
+
+        out = jax.lax.cond(counts[k] > 0, do, lambda o: o, out)
+    return out[:budget], n
+
+
 def pick_tile_bricks(nb: Tuple[int, int, int]) -> int:
     """Tile size (bricks/axis) keeping the tile grid <= ~32^3."""
     tb = 4
@@ -454,7 +488,8 @@ def band_candidate_bricks(cfg: TSDFConfig, B: int, nb: Tuple[int, int, int],
 
     U2 = min(2 * update_budget, tile_budget * TB3)
     blin = (bx * nby + by) * nbz + bz
-    rough, n_rough = _compact(brick_rough.reshape(-1), blin.reshape(-1), U2)
+    rough, n_rough = _compact_chunked(brick_rough.reshape(-1),
+                                      blin.reshape(-1), U2)
     overflow |= n_rough > U2
 
     # ---- tighten pass (per-brick footprint mip lookup) -------------------

@@ -355,7 +355,7 @@ def _integrate_bricks_jit(vol: BrickVolume, depth, pose, rgb, split_key,
                           update_budget: int, use_pallas: bool,
                           pallas_interpret: bool, pallas_window: bool,
                           pallas_band: int, pallas_extra: int) -> BrickVolume:
-    from .activation import (_compact, band_candidate_bricks,
+    from .activation import (_compact_chunked, band_candidate_bricks,
                              carve_candidate_slots, depth_mips,
                              mip_base_level)
 
@@ -385,7 +385,7 @@ def _integrate_bricks_jit(vol: BrickVolume, depth, pose, rgb, split_key,
     live_pre = vol.coords[:, 0] >= 0
     carve_mask = carve_candidate_slots(cfg, B, mips, pose_inv, vol.coords,
                                        live_pre)
-    carve_slots, n_carve = _compact(
+    carve_slots, n_carve = _compact_chunked(
         carve_mask, jnp.arange(vol.capacity, dtype=jnp.int32), carve_budget)
     overflow |= n_carve > carve_budget
 

@@ -90,7 +90,7 @@ def _integrate_sharded_jit(bv: BrickVolume, depth, rgb, pose,
     has_color = bv.color is not None and rgb is not None
 
     def body(*args):
-        from ..activation import (_compact, band_candidate_bricks,
+        from ..activation import (_compact_chunked, band_candidate_bricks,
                                   carve_candidate_slots, depth_mips,
                                   mip_base_level)
         from ..bricks import carve_budget_for, fuse_brick_batch
@@ -157,7 +157,7 @@ def _integrate_sharded_jit(bv: BrickVolume, depth, rgb, pose,
         live_pre = coords_pre[:, 0] >= 0
         carve_mask = carve_candidate_slots(cfg, B, mips, pose_inv_r,
                                            coords_pre, live_pre)
-        carve_slots, n_carve = _compact(
+        carve_slots, n_carve = _compact_chunked(
             carve_mask, jnp.arange(C_local, dtype=jnp.int32), carve_budget)
         overflow |= n_carve > carve_budget
         carve_ok = carve_slots >= 0
