@@ -234,6 +234,12 @@ def main():
     fps = statistics.median(batch_fps)
     log(f"integrate median fps: {fps:.1f} (batches: {[round(f,1) for f in batch_fps]}); "
         f"overflow={bool(bv.overflowed)}")
+    # BASELINE.json north-star metric #1 is points/s: depth points fused
+    # per second = valid pixels per frame x frames/s
+    n_px_valid = int(np.isfinite(np.asarray(depth)).sum())
+    extra["integrate_points_per_s"] = round(n_px_valid * fps)
+    log(f"integrate points/s: {extra['integrate_points_per_s']/1e6:.1f} M "
+        f"({n_px_valid} valid px/frame)")
 
     # roofline: modeled HBM traffic / peak bandwidth (BASELINE.md north star).
     # Integrate touches each active brick's d/w/M/n SoA rows (read+write) plus
@@ -401,9 +407,12 @@ def main():
         # async pipelining, and the MIN over trials — per-op tunnel dispatch
         # latency fluctuates 1-6 ms (bench/mc_probe8) and is strictly
         # additive noise on top of device time.
-        reps = 30
+        # 60-rep trials: single-trial windows short enough to sit inside a
+        # tunnel-congestion spike produced 5.1 vs 8.9 M tris/s run-to-run
+        # spread at identical code (round 5); longer trials average it
+        reps = 60
         rates = []
-        for _ in range(5):
+        for _ in range(6):
             t0 = time.time()
             for _ in range(reps):
                 soup = extract_soup_bricks(bv, min_weight=0.5, live_chunks=lc,

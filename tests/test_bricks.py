@@ -404,3 +404,32 @@ print("MERGED-INTEGRATE OK")
                        cwd=os.path.join(os.path.dirname(__file__), ".."))
     assert r.returncode == 0 and "MERGED-INTEGRATE OK" in r.stdout, (
         r.stdout[-2000:], r.stderr[-2000:])
+
+
+def test_compact_chunked_matches_plain():
+    """The chunk-gated two-level compaction must be BIT-identical to the
+    plain budgeted compaction on every mask shape: empty, dense, live
+    prefix (the production case), scattered, over-budget, and
+    non-chunk-divisible lengths."""
+    import numpy as np
+
+    from cpu_tsdf_tpu.activation import _compact, _compact_chunked
+
+    rng = np.random.default_rng(3)
+    cases = []
+    for C in (1000, 4096, 9000, 32768):
+        cases.append(np.zeros(C, bool))
+        cases.append(np.ones(C, bool))
+        prefix = np.zeros(C, bool)
+        prefix[: C // 7] = rng.uniform(size=C // 7) < 0.5
+        cases.append(prefix)
+        cases.append(rng.uniform(size=C) < 0.01)
+    for mask in cases:
+        C = mask.shape[0]
+        ids = jnp.arange(C, dtype=jnp.int32) * 3 + 1
+        for budget in (64, 512):
+            a, na = _compact(jnp.asarray(mask), ids, budget)
+            b, nb = _compact_chunked(jnp.asarray(mask), ids, budget,
+                                     chunk=2048)
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            assert int(na) == int(nb)
