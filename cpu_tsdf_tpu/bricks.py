@@ -544,33 +544,24 @@ def fuse_brick_batch(cfg: TSDFConfig, B: int, bx, by, bz, slot_ok, slots,
 
         new_color = color
         if color_active:
-            # color transform in XLA over the kernel's aux observations
-            # (K rows — no image gathers anywhere). Multipass bricks emit
-            # one aux row per pass with DISJOINT validity; fold the extra
-            # rows into their source row with scatter-max (invalid = -1 on
-            # both channels, at most one pass valid per voxel, so max is
-            # exact and duplicate-source-safe).
+            # color transform in XLA over the kernel's SLOT-INDEXED dense
+            # aux channels: a pure full-array elementwise pass (the former
+            # per-batch-row aux needed a [K, 512]-row gather of old color
+            # plus a scatter of the update — ~7M arbitrary-indexed elements
+            # each way per colored frame, the trajectory bench's dominant
+            # cost). Multipass folding happened in-kernel (disjoint-validity
+            # accumulation); the dump row C-1 keeps weff = -1 throughout.
             rgbp, weff = out[4], out[5]
-            rgbp_x, weff_x = out[6], out[7]
-            rgbp = jnp.where(weff >= 0, rgbp, -1.0)
-            rgbp_x = jnp.where(weff_x >= 0, rgbp_x, -1.0)
-            rgbp, weff = jax.lax.cond(
-                n_extra > 0,
-                lambda m, w: (m.at[xsrc].max(rgbp_x, mode="drop"),
-                              w.at[xsrc].max(weff_x, mode="drop")),
-                lambda m, w: (m, w), rgbp, weff)
-            k4 = (K, B, B, B)
-            rr, gg, bb = unpack_rgb(rgbp.reshape(k4))
-            weff = weff.reshape(k4)
-            cvalid = (weff >= 0) & row_ok[:, None, None, None]
-            c0 = jnp.take(color, slots_c, axis=0)
-            w0 = g(weight)  # PRE-update weights (the kernel updated in place
-            # via aliasing, but `weight` still names the pre-update buffer)
-            cu = color_ops.update_color(cfg.color_mode, c0, w0, rr, gg, bb,
-                                        jnp.maximum(weff, 0.0))
-            cu = jnp.where(cvalid[..., None], cu, c0)
-            col_slots = jnp.where(row_ok, slots, C)  # C -> dropped
-            new_color = color.at[col_slots].set(cu, mode="drop")
+            c4 = (C, B, B, B)
+            rr, gg, bb = unpack_rgb(rgbp.reshape(c4))
+            weff = weff.reshape(c4)
+            cvalid = weff >= 0
+            w0_all = weight.reshape(c4)  # PRE-update weights (the kernel
+            # updated in place via aliasing, but `weight` still names the
+            # pre-update buffer)
+            cu = color_ops.update_color(cfg.color_mode, color, w0_all,
+                                        rr, gg, bb, jnp.maximum(weff, 0.0))
+            new_color = jnp.where(cvalid[..., None], cu, color)
 
         return new_sdf, new_w, new_M, new_n, new_color, pass_overflow
 

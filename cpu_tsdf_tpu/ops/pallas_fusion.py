@@ -366,11 +366,19 @@ def _kernel_inplace(cfg: TSDFConfig, B: int, W: int, n_coarse: int,
     """One grid step = one brick at block [1, 4, V/4]; slot-indexed blocks.
 
     Without color: refs = (d0, w0, M0, n0, d1, w1, M1, n1).
-    With color:    refs = (rgb, d0, w0, M0, n0, d1, w1, M1, n1, rgbp, weff)
-    where rgb is the packed color image, rgbp/weff are per-batch-brick aux
-    outputs (block [1, S, L] at grid index k). With `window` the depth (and
-    rgb) band is additionally column-sliced to the brick's
-    DEPTH_WINDOW_COLS-wide window (meta col 6).
+    With color:    refs = (rgb, d0, w0, M0, n0, rgbp0, weff0,
+                           d1, w1, M1, n1, rgbp1, weff1)
+    where rgb is the packed color image and rgbp/weff are SLOT-INDEXED
+    dense aux channels ([C, S, L], aliased in->out like the SoA state):
+    the packed color observation and the effective fused weight (negative
+    = no in-band observation). Slot indexing means the caller's XLA color
+    transform runs as a full-array elementwise pass — the former
+    per-batch-row aux forced a [K, 512]-row gather of old color + scatter
+    of the update, ~2x 7M arbitrary-indexed elements per colored frame at
+    this TPU's gather/scatter rates (the round-5 trajectory bench's
+    dominant cost). With `window` the depth (and rgb) band is additionally
+    column-sliced to the brick's DEPTH_WINDOW_COLS-wide window (meta col
+    6).
 
     Validity is masked to the pass tile packed in meta col 7 (a no-op for
     anchored single-pass bricks, whose mask equals their band/window; exact
@@ -382,10 +390,11 @@ def _kernel_inplace(cfg: TSDFConfig, B: int, W: int, n_coarse: int,
 
     if want_color:
         rgb_ref, refs = refs[0], refs[1:]
-    d0_ref, w0_ref, M0_ref, n0_ref = refs[:4]
-    d1_ref, w1_ref, M1_ref, n1_ref = refs[4:8]
-    if want_color:
-        rgbp_ref, weff_ref = refs[8], refs[9]
+        (d0_ref, w0_ref, M0_ref, n0_ref, rgbp0_ref, weff0_ref,
+         d1_ref, w1_ref, M1_ref, n1_ref, rgbp1_ref, weff1_ref) = refs
+    else:
+        d0_ref, w0_ref, M0_ref, n0_ref = refs[:4]
+        d1_ref, w1_ref, M1_ref, n1_ref = refs[4:8]
 
     V = B * B * B
     S, L = 4, V // 4
@@ -520,11 +529,17 @@ def _kernel_inplace(cfg: TSDFConfig, B: int, W: int, n_coarse: int,
         w0 = jnp.where(cont, w1_ref[0], w0_ref[0])
         M0 = jnp.where(cont, M1_ref[0], M0_ref[0])
         n0 = jnp.where(cont, n1_ref[0], n0_ref[0])
+        if want_color:
+            rp_prev = jnp.where(cont, rgbp1_ref[0], rgbp0_ref[0])
+            wf_prev = jnp.where(cont, weff1_ref[0], weff0_ref[0])
     else:
         d0 = d0_ref[0]
         w0 = w0_ref[0]
         M0 = M0_ref[0]
         n0 = n0_ref[0]
+        if want_color:
+            rp_prev = rgbp0_ref[0]
+            wf_prev = weff0_ref[0]
 
     if cfg.weight_by_variance:
         # reference getVariance's n/(n-1) factor is INT division == 1 for
@@ -547,11 +562,14 @@ def _kernel_inplace(cfg: TSDFConfig, B: int, W: int, n_coarse: int,
     M1_ref[0] = jnp.where(valid, M_upd, M0)
     n1_ref[0] = jnp.where(valid, n_upd, n0)
     if want_color:
-        # aux per-batch-brick outputs: packed color observation + effective
-        # weight, validity sign-encoded (the caller's color transform reads
-        # w_eff >= 0 as "this voxel received an in-band observation")
-        rgbp_ref[0] = jnp.concatenate(p_chunks, axis=0)
-        weff_ref[0] = jnp.where(valid, w_new, -1.0)
+        # slot-indexed aux accumulation: packed color observation +
+        # effective weight, validity sign-encoded (w_eff >= 0 = "this voxel
+        # received an in-band observation"). Multipass rows have DISJOINT
+        # validity, so keeping prev where invalid folds the passes exactly
+        # (the former caller-side scatter-max).
+        rgbp1_ref[0] = jnp.where(valid, jnp.concatenate(p_chunks, axis=0),
+                                 rp_prev)
+        weff1_ref[0] = jnp.where(valid, w_new, wf_prev)
 
 
 @partial(jax.jit, static_argnums=(0, 1, 8),
@@ -577,10 +595,10 @@ def fuse_bricks_inplace(cfg: TSDFConfig, B: int, meta, pose_inv_flat, sdf,
     additional kernel call AFTER the main chunks (the call boundary makes
     the main call's writes visible to the extra call's first-visit reads).
 
-    With rgb_packed (see :func:`pack_rgb`) the return gains two [K, B^3] aux
-    arrays: the packed color observation per voxel and the effective fused
-    weight (negative = invalid), for the caller's XLA color transform —
-    plus two [E, B^3] arrays for the extra passes when meta_extra is given.
+    With rgb_packed (see :func:`pack_rgb`) the return gains two [C, S, L]
+    SLOT-INDEXED dense aux arrays: the packed color observation per voxel
+    and the effective fused weight (negative = no observation), for the
+    caller's full-array XLA color transform (no gathers/scatters).
     """
     K = meta.shape[0]
     V = B * B * B
@@ -595,82 +613,54 @@ def fuse_bricks_inplace(cfg: TSDFConfig, B: int, meta, pose_inv_flat, sdf,
                          _window_active(cfg, window), band, True)
 
     def run_chunk(meta_c, arrays, kern=kern):
-        sdf_, w_, M_, n_ = arrays
         KC = meta_c.shape[0]
         slot_spec = pl.BlockSpec((1, S, L), lambda k, m: (m[k, 5], 0, 0),
                                  memory_space=pltpu.VMEM)
-        aux_spec = pl.BlockSpec((1, S, L), lambda k, m: (k, 0, 0),
-                                memory_space=pltpu.VMEM)
+        n_state = 4 + 2 * want_color
         img_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + want_color)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(KC,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + img_specs
-            + [slot_spec, slot_spec, slot_spec, slot_spec],
-            out_specs=[slot_spec] * 4 + [aux_spec] * (2 * want_color),
+            + [slot_spec] * n_state,
+            out_specs=[slot_spec] * n_state,
         )
-        out_shape = [
-            jax.ShapeDtypeStruct((C, S, L), sdf_.dtype),
-            jax.ShapeDtypeStruct((C, S, L), w_.dtype),
-            jax.ShapeDtypeStruct((C, S, L), M_.dtype),
-            jax.ShapeDtypeStruct((C, S, L), n_.dtype),
-        ] + [jax.ShapeDtypeStruct((KC, S, L), jnp.float32)] * (2 * want_color)
+        out_shape = [jax.ShapeDtypeStruct((C, S, L), a.dtype)
+                     for a in arrays]
         # flat input indices INCLUDE the scalar-prefetch arg:
-        # meta=0 pose=1 depth=2 [rgb=3] sdf/w/M/n follow
+        # meta=0 pose=1 depth=2 [rgb=3] sdf/w/M/n [rgbp/weff] follow
         a0 = 3 + want_color
         imgs = (depth, rgb_packed) if want_color else (depth,)
         out = pl.pallas_call(
             kern,
             grid_spec=grid_spec,
             out_shape=out_shape,
-            input_output_aliases={a0: 0, a0 + 1: 1, a0 + 2: 2, a0 + 3: 3},
+            input_output_aliases={a0 + i: i for i in range(n_state)},
             interpret=interpret,
-        )(meta_c, pose_inv_flat, *imgs, sdf_, w_, M_, n_)
-        return (out[:4], out[4:]) if want_color else (out, ())
+        )(meta_c, pose_inv_flat, *imgs, *arrays)
+        return tuple(out)
 
     arrays = (sdf, weight, M, nsample)
-    aux_parts = []
+    if want_color:
+        # slot-indexed dense aux channels, aliased through the chunk chain
+        # exactly like the SoA state (-1 weff = "no observation")
+        arrays += (jnp.zeros((C, S, L), jnp.float32),
+                   jnp.full((C, S, L), -1.0, jnp.float32))
     for s in range(0, K, MAX_BRICKS_PER_CALL):
         e = min(s + MAX_BRICKS_PER_CALL, K)
         mc = meta[s:e]
 
-        def skip_chunk(a, n=e - s):
-            # aux zeros derive from the carried state so both cond branches
-            # agree on varying-axis types under shard_map
-            z0 = 0.0 * a[0][0, 0, 0]
-            aux = ((jnp.zeros((n, S, L)) + z0, jnp.full((n, S, L), -1.0) + z0)
-                   if want_color else ())
-            return a, aux
-
         # the active list is rank-compacted (actives form a prefix), so
         # trailing padding-only chunks skip the kernel entirely
-        arrays, aux = jax.lax.cond(jnp.any(mc[:, 4] > 0),
-                                   lambda a, m=mc: run_chunk(m, a),
-                                   skip_chunk, arrays)
-        aux_parts.append(aux)
+        arrays = jax.lax.cond(jnp.any(mc[:, 4] > 0),
+                              lambda a, m=mc: run_chunk(m, a),
+                              lambda a: a, arrays)
 
-    aux_x = ()
     if meta_extra is not None:
         E = meta_extra.shape[0]
         assert E <= MAX_BRICKS_PER_CALL, E
-
-        def skip_extra(a):
-            z0 = 0.0 * a[0][0, 0, 0]
-            aux = ((jnp.zeros((E, S, L)) + z0, jnp.full((E, S, L), -1.0) + z0)
-                   if want_color else ())
-            return a, aux
-
-        arrays, aux_x = jax.lax.cond(
+        arrays = jax.lax.cond(
             jnp.any(meta_extra[:, 4] > 0),
             lambda a: run_chunk(meta_extra, a, kern_multi),
-            skip_extra, arrays)
-    state = arrays
-    if not want_color:
-        return state
-    rgbp = jnp.concatenate([p[0] for p in aux_parts], 0).reshape(K, V)
-    weff = jnp.concatenate([p[1] for p in aux_parts], 0).reshape(K, V)
-    out = state + (rgbp, weff)
-    if meta_extra is not None:
-        E = meta_extra.shape[0]
-        out += (aux_x[0].reshape(E, V), aux_x[1].reshape(E, V))
-    return out
+            lambda a: a, arrays)
+    return arrays
