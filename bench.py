@@ -492,6 +492,28 @@ def main():
                 f"{int(bvt.n_active)} shell bricks; "
                 f"overflow={bool(bvt.overflowed)}")
 
+            # scan throughput mode: the whole orbit as ONE executable
+            # (integrate_bricks_sequence) — no per-frame dispatch
+            from cpu_tsdf_tpu.bricks import integrate_bricks_sequence
+
+            rgbs_t = jnp.broadcast_to(rgb_t, (n_poses,) + rgb_t.shape)
+            bvs = make_brick_volume(cfgt, 8, 1 << 13)
+            t0 = time.time()
+            bvs = integrate_bricks_sequence(bvs, depths_t, poses_t, rgbs_t,
+                                            budget, use_pallas, False)
+            _ = float(fence(bvs.weight))
+            log(f"traj scan compile+first orbit: {time.time()-t0:.1f}s")
+            t0 = time.time()
+            for _ in range(2):
+                bvs = integrate_bricks_sequence(bvs, depths_t, poses_t,
+                                                rgbs_t, budget, use_pallas,
+                                                False)
+            _ = float(fence(bvs.weight))
+            scan_fps = 2 * n_poses / (time.time() - t0)
+            extra["integrate_traj_scan_fps"] = round(scan_fps, 2)
+            log(f"trajectory integrate (scan mode): {scan_fps:.1f} fps; "
+                f"overflow={bool(bvs.overflowed)}")
+
             from cpu_tsdf_tpu.ops.pallas_raycast import grow_r_budget
             rbt = grow_r_budget(bvt, 4096)
             t0 = time.time()

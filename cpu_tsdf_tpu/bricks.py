@@ -417,6 +417,64 @@ def _integrate_bricks_jit(vol: BrickVolume, depth, pose, rgb, split_key,
         color=new_color, overflowed=vol.overflowed | overflow | xovf)
 
 
+def integrate_bricks_sequence(vol: BrickVolume, depths, poses, rgbs=None,
+                              update_budget: int = 1 << 13,
+                              use_pallas: bool = False,
+                              pallas_interpret: bool = False,
+                              split_key=None, pallas_window: bool = None,
+                              pallas_band: int = None,
+                              pallas_extra: int = None) -> BrickVolume:
+    """Fuse a SEQUENCE of registered frames in ONE compiled scan.
+
+    Throughput mode for offline reconstruction: identical semantics to
+    calling :func:`integrate_bricks` per frame (bit-equal, asserted in
+    tests), but the whole trajectory runs as a single `lax.scan` executable
+    — no per-frame host dispatch (measured ~0.5 ms/frame through the TPU
+    tunnel). ``depths`` [N, H, W], ``poses`` [N, 4, 4], optional ``rgbs``
+    [N, H, W, 3] must be device-resident; with num_random_splits > 1 pass
+    ``split_key`` to derive per-frame jitter keys.
+    """
+    from .ops import pallas_fusion as pf
+
+    window = (pf.USE_DEPTH_WINDOW if pallas_window is None
+              else bool(pallas_window))
+    band = pf.resolve_band(pallas_band)
+    extra = (pf.EXTRA_PASS_BUDGET if pallas_extra is None
+             else int(pallas_extra))
+    keys = None
+    if vol.config.num_random_splits > 1:
+        key = split_key if split_key is not None else jax.random.PRNGKey(0)
+        keys = jax.random.split(key, jnp.asarray(depths).shape[0])
+    return _integrate_bricks_seq_jit(
+        vol, jnp.asarray(depths),
+        jnp.asarray(poses, jnp.float32),
+        None if rgbs is None else jnp.asarray(rgbs), keys,
+        int(update_budget), bool(use_pallas), bool(pallas_interpret),
+        window, band, extra)
+
+
+@partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10), donate_argnums=(0,))
+def _integrate_bricks_seq_jit(vol, depths, poses, rgbs, keys,
+                              update_budget: int, use_pallas: bool,
+                              pallas_interpret: bool, pallas_window: bool,
+                              pallas_band: int, pallas_extra: int):
+    step = _integrate_bricks_jit.__wrapped__   # the traced per-frame body
+    n = depths.shape[0]
+
+    def body(v, x):
+        d, p, r, k = x
+        return step(v, d, p,
+                    r if rgbs is not None else None,
+                    k if keys is not None else None,
+                    update_budget, use_pallas, pallas_interpret,
+                    pallas_window, pallas_band, pallas_extra), None
+
+    xs = (depths, poses,
+          rgbs if rgbs is not None else jnp.zeros((n, 0)),
+          keys if keys is not None else jnp.zeros((n, 0)))
+    return jax.lax.scan(body, vol, xs)[0]
+
+
 def fuse_brick_batch(cfg: TSDFConfig, B: int, bx, by, bz, slot_ok, slots,
                      sdf, weight, M, nsample, color, depth, pose_inv,
                      rgb=None, use_pallas: bool = False,

@@ -433,3 +433,57 @@ def test_compact_chunked_matches_plain():
                                      chunk=2048)
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
             assert int(na) == int(nb)
+
+
+def test_integrate_sequence_matches_per_frame(small_cfg):
+    """integrate_bricks_sequence (one compiled scan) must be BIT-equal to
+    the per-frame loop, with and without color."""
+    import numpy as np
+
+    from cpu_tsdf_tpu.bricks import (integrate_bricks,
+                                     integrate_bricks_sequence,
+                                     make_brick_volume)
+    from cpu_tsdf_tpu.synthetic import sphere_depth, sphere_rgb
+
+    cfg = small_cfg.with_updates(integrate_color=True, color_mode="RGB")
+    poses = []
+    depths = []
+    rgbs = []
+    for i in range(3):
+        p = np.eye(4, dtype=np.float32)
+        p[0, 3] = 0.02 * i
+        p[2, 3] = -0.9 - 0.03 * i
+        d = np.asarray(sphere_depth(cfg, center=(-0.02 * i, 0.0, 0.9 + 0.03 * i),
+                                    radius=0.3))
+        poses.append(p)
+        depths.append(d)
+        rgbs.append(np.asarray(sphere_rgb(cfg, d)))
+    depths = jnp.asarray(np.stack(depths))
+    poses_j = jnp.asarray(np.stack(poses))
+    rgbs_j = jnp.asarray(np.stack(rgbs))
+
+    ref = make_brick_volume(cfg, 8, 256)
+    for i in range(3):
+        ref = integrate_bricks(ref, depths[i], poses_j[i], rgbs_j[i], 1024)
+    seq = integrate_bricks_sequence(make_brick_volume(cfg, 8, 256),
+                                    depths, poses_j, rgbs_j, 1024)
+    np.testing.assert_array_equal(np.asarray(ref.sdf), np.asarray(seq.sdf))
+    np.testing.assert_array_equal(np.asarray(ref.weight),
+                                  np.asarray(seq.weight))
+    np.testing.assert_array_equal(np.asarray(ref.color),
+                                  np.asarray(seq.color))
+    np.testing.assert_array_equal(np.asarray(ref.brick_map),
+                                  np.asarray(seq.brick_map))
+    assert int(seq.n_active) == int(ref.n_active)
+
+    # uncolored path (None rgbs slot in the scan xs)
+    cfg0 = small_cfg
+    d0 = depths  # same depths work
+    r0 = make_brick_volume(cfg0, 8, 256)
+    for i in range(3):
+        r0 = integrate_bricks(r0, d0[i], poses_j[i], None, 1024)
+    s0 = integrate_bricks_sequence(make_brick_volume(cfg0, 8, 256),
+                                   d0, poses_j, None, 1024)
+    np.testing.assert_array_equal(np.asarray(r0.sdf), np.asarray(s0.sdf))
+    np.testing.assert_array_equal(np.asarray(r0.weight),
+                                  np.asarray(s0.weight))
