@@ -361,26 +361,28 @@ def main():
         # TPU hardware — the virtual-CPU scaling harness can only exercise
         # it in interpret mode. Bit-match asserted vs the plain kernel.
         if use_pallas:
-            from cpu_tsdf_tpu.parallel import (make_tsdf_mesh,
-                                               render_view_pallas_sharded)
+            from cpu_tsdf_tpu.parallel import make_tsdf_mesh
+            from cpu_tsdf_tpu.parallel.raycast import _render_tile_sharded_jit
 
             mesh1 = make_tsdf_mesh(jax.devices()[:1])
             t0 = time.time()
-            rs = render_view_pallas_sharded(bv, pose, mesh1, pack=pack,
-                                            pair_budget=32768,
-                                            pair_budget_local=32768)
+            # the jit directly: the python wrapper's per-call overflow
+            # checks are host syncs (~30 ms each through the tunnel) that
+            # swamped the loop (bench/sharded_render_probe r5)
+            rs, ovf1, ovf2 = _render_tile_sharded_jit(
+                pack, pose, mesh1, 1, 32768, 32768, False, False)
             _ = float(fence(rs.depth))
-            log(f"sharded-kernel render compile+first: {time.time()-t0:.1f}s")
+            log(f"sharded-kernel render compile+first: {time.time()-t0:.1f}s "
+                f"overflow={bool(ovf1 | ovf2)}")
             rp1 = render_view_pallas(bv, pose, pack=pack)
             same = np.array_equal(np.asarray(rp1.depth), np.asarray(rs.depth),
                                   equal_nan=True)
             t0 = time.time()
-            for _ in range(5):
-                rs = render_view_pallas_sharded(bv, pose, mesh1, pack=pack,
-                                                pair_budget=32768,
-                                                pair_budget_local=32768)
+            for _ in range(10):
+                rs, ovf1, ovf2 = _render_tile_sharded_jit(
+                    pack, pose, mesh1, 1, 32768, 32768, False, False)
             _ = float(fence(rs.depth))
-            r1 = 5 * n_rays / (time.time() - t0)
+            r1 = 10 * n_rays / (time.time() - t0)
             extra["render_sharded_1dev_rays_per_s"] = round(r1)
             extra["render_sharded_1dev_bitmatch"] = bool(same)
             log(f"sharded-kernel render (1-dev mesh, compiled): "
