@@ -126,7 +126,22 @@ def worker(proc_id: int, nproc: int, port: str) -> int:
     return 0
 
 
-def coordinator(nproc: int = 2, port: str = "39217") -> int:
+def _free_port() -> str:
+    """OS-assigned free port: a FIXED port flaked when a prior run's
+    coordinator socket lingered (coordination service 'has likely
+    restarted' rendezvous failures, round 5)."""
+    import socket
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    p = s.getsockname()[1]
+    s.close()
+    return str(p)
+
+
+def coordinator(nproc: int = 2, port: str = None) -> int:
+    if port is None:
+        port = _free_port()
     procs = []
     for i in range(nproc):
         env = dict(os.environ)
@@ -165,4 +180,4 @@ if __name__ == "__main__":
     if len(sys.argv) >= 4:
         sys.exit(worker(int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]))
     sys.exit(coordinator(int(os.environ.get("NPROC", "2")),
-                         os.environ.get("PORT", "39217")))
+                         os.environ.get("PORT")))

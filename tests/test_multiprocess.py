@@ -32,8 +32,7 @@ def test_multiprocess_hybrid_2x4():
     """2 processes x 4 devices: the pod-shaped DCN x ICI hybrid mesh runs the
     sharded integrate, and the cross-DCN merge renders identically on every
     process (VERDICT r4 item 6)."""
-    env = dict(os.environ, NPROC="2", DEVS="4", JAX_PLATFORMS="cpu",
-               PORT="39219")
+    env = dict(os.environ, NPROC="2", DEVS="4", JAX_PLATFORMS="cpu")
     env.pop("XLA_FLAGS", None)
     r = subprocess.run([sys.executable, SCRIPT], env=env, timeout=900,
                        capture_output=True, text=True)
