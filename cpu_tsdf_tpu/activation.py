@@ -59,6 +59,17 @@ class DepthMips(NamedTuple):
 
     flat_min: jnp.ndarray   # [sum_{l>=base} Hl*Wl]
     flat_max: jnp.ndarray
+    # 2x2-DILATED variants: texel t holds the min/max over texels {t, t+1}
+    # per axis (edge-clamped), so a footprint rect spanning <= 2 texels per
+    # axis needs ONE gather instead of the 2x2 four. Bounds are equal or
+    # slightly looser (when the rect fits fewer than 2x2 texels), so these
+    # serve the COARSE pre-filters only (tile pass / tile refine — their
+    # accepts are re-tested downstream); the set-defining tighten and carve
+    # lookups stay exact 2x2 (measured: dilating those grew the kernel
+    # batch by more than the gathers saved, AND tighten/carve must share
+    # one dmin definition for the band/carve partition to stay airtight).
+    flat_min_d: jnp.ndarray
+    flat_max_d: jnp.ndarray
     offsets: jnp.ndarray    # int32 [L-base]
     widths: jnp.ndarray     # int32 [L-base]  (level width Wp >> l)
     n_levels: int           # levels MATERIALIZED (after base_level)
@@ -151,10 +162,21 @@ def depth_mips(depth: jnp.ndarray, base_level: int = 0) -> DepthMips:
     for (h, w) in shapes[1:]:
         mins.append(halve(mins[-1], h, w, jnp.min))
         maxs.append(halve(maxs[-1], h, w, jnp.max))
+
+    def dilate(a, red):
+        # texel t := red(t, t+1) per axis, edge-clamped (matches the 2x2
+        # lookup's clip behavior at the right/bottom edges)
+        a = red(a, jnp.concatenate([a[1:], a[-1:]], 0))
+        return red(a, jnp.concatenate([a[:, 1:], a[:, -1:]], 1))
+
+    mins_d = [dilate(m, jnp.minimum) for m in mins]
+    maxs_d = [dilate(m, jnp.maximum) for m in maxs]
     offsets = np.cumsum([0] + [h * w for (h, w) in shapes[:-1]])
     return DepthMips(
         flat_min=jnp.concatenate([m.reshape(-1) for m in mins]),
         flat_max=jnp.concatenate([m.reshape(-1) for m in maxs]),
+        flat_min_d=jnp.concatenate([m.reshape(-1) for m in mins_d]),
+        flat_max_d=jnp.concatenate([m.reshape(-1) for m in maxs_d]),
         offsets=jnp.asarray(offsets, jnp.int32),
         widths=jnp.asarray([w for (_, w) in shapes], jnp.int32),
         n_levels=len(shapes),
@@ -164,19 +186,31 @@ def depth_mips(depth: jnp.ndarray, base_level: int = 0) -> DepthMips:
     )
 
 
-def _footprint_depth_bounds(mips: DepthMips, u0, u1, v0, v1, need_max=True):
+def _footprint_depth_bounds(mips: DepthMips, u0, u1, v0, v1, need_max=True,
+                            dilated=False):
     """Conservative (dmin, dmax) over pixel rect [u0,u1]x[v0,v1] (inclusive,
-    already clamped to the padded image) via a 2x2 texel mip lookup."""
+    already clamped to the padded image).
+
+    Default: exact 2x2 texel lookup. ``dilated``: ONE texel of the
+    2x2-dilated tables covers the whole rect (the rect spans <= 2 texels
+    per axis at level l) — 4x fewer gathers, same-or-looser bounds; coarse
+    pre-filters only (see DepthMips)."""
     span = jnp.maximum(jnp.maximum(u1 - u0, v1 - v0), 0) + 1
     # smallest l with 2^l >= span  ->  rect covers <= 2 texels per axis.
-    # The base_level clamp can never bind (mip_base_level's span bound), so
-    # bounds are bit-identical to the full-pyramid lookup.
+    # The base_level clamp can never bind (mip_base_level's span bound).
     l = jnp.ceil(jnp.log2(span.astype(jnp.float32))).astype(jnp.int32)
     l = jnp.clip(l, mips.base_level, mips.base_level + mips.n_levels - 1)
     off = jnp.take(mips.offsets, l - mips.base_level)
     wl = jnp.take(mips.widths, l - mips.base_level)
     tu0, tu1 = u0 >> l, u1 >> l
     tv0, tv1 = v0 >> l, v1 >> l
+
+    if dilated:
+        idx = off + tv0 * wl + tu0
+        dmin = jnp.take(mips.flat_min_d, idx, mode="clip")
+        if not need_max:
+            return dmin, None
+        return dmin, jnp.take(mips.flat_max_d, idx, mode="clip")
 
     def tex(flat, tv, tu):
         return jnp.take(flat, off + tv * wl + tu, mode="clip")
@@ -205,7 +239,7 @@ def _band_margins(cfg: TSDFConfig):
 
 
 def _sphere_footprint(cfg: TSDFConfig, mips: DepthMips, ccx, ccy, ccz, r,
-                      need_max=True):
+                      need_max=True, dilated=False):
     """Depth bounds under a sphere's conservative image footprint.
 
     Returns (usable, dmin, dmax): `usable` is False when the sphere straddles
@@ -232,13 +266,15 @@ def _sphere_footprint(cfg: TSDFConfig, mips: DepthMips, ccx, ccy, ccz, r,
     u1 = jnp.clip(jnp.ceil(u_max).astype(jnp.int32) + 1, 0, W - 1)
     v0 = jnp.clip(jnp.floor(v_min).astype(jnp.int32) - 1, 0, H - 1)
     v1 = jnp.clip(jnp.ceil(v_max).astype(jnp.int32) + 1, 0, H - 1)
-    dmin, dmax = _footprint_depth_bounds(mips, u0, u1, v0, v1, need_max)
+    dmin, dmax = _footprint_depth_bounds(mips, u0, u1, v0, v1, need_max,
+                                         dilated)
     inf = jnp.float32(jnp.inf)
     return (usable, jnp.where(empty, inf, dmin),
             None if dmax is None else jnp.where(empty, -inf, dmax))
 
 
-def _band_test(cfg: TSDFConfig, mips: DepthMips, ccx, ccy, ccz, r):
+def _band_test(cfg: TSDFConfig, mips: DepthMips, ccx, ccy, ccz, r,
+               dilated=False):
     """Conservative band-intersection test for spheres (center camera-frame,
     radius r): True iff the sphere MAY contain voxels receiving in-band
     updates from this frame."""
@@ -248,7 +284,8 @@ def _band_test(cfg: TSDFConfig, mips: DepthMips, ccx, ccy, ccz, r):
     z_lo, z_hi = ccz - r, ccz + r
     in_sensor = (z_hi >= cfg.min_sensor_dist) & (z_lo <= cfg.max_sensor_dist)
 
-    usable, dmin, dmax = _sphere_footprint(cfg, mips, ccx, ccy, ccz, r)
+    usable, dmin, dmax = _sphere_footprint(cfg, mips, ccx, ccy, ccz, r,
+                                           dilated=dilated)
     bounded_act = (z_lo <= dmax + m_lo) & (z_hi >= dmin - m_hi)
 
     # Sphere straddles the camera plane: footprint unbounded. Conservative
@@ -438,7 +475,9 @@ def band_candidate_bricks(cfg: TSDFConfig, B: int, nb: Tuple[int, int, int],
     y1 = jnp.minimum(y0 + TB * B * csy, cfg.ysize)
     z1 = jnp.minimum(z0 + TB * B * csz, cfg.zsize)
     ccx, ccy, ccz, r = cam_center_radius(x0, y0, z0, x1, y1, z1)
-    tile_act = _band_test(cfg, mips, ccx, ccy, ccz, r)
+    # coarse pre-filter: dilated single-gather bounds (accepts re-tested
+    # by the brick refine + tighten)
+    tile_act = _band_test(cfg, mips, ccx, ccy, ccz, r, dilated=True)
     tiles, n_tiles = _compact(tile_act, ti, tile_budget)
     overflow = n_tiles > tile_budget
     tile_ok = tiles >= 0
@@ -479,7 +518,8 @@ def band_candidate_bricks(cfg: TSDFConfig, B: int, nb: Tuple[int, int, int],
         jnp.minimum(sx0 + TB * B * csx, cfg.xsize),
         jnp.minimum(sy0 + TB * B * csy, cfg.ysize),
         jnp.minimum(sz0 + TB * B * csz, cfg.zsize))
-    t_usable, t_dmin, t_dmax = _sphere_footprint(cfg, mips, tccx, tccy, tccz, tr)
+    t_usable, t_dmin, t_dmax = _sphere_footprint(cfg, mips, tccx, tccy,
+                                                 tccz, tr, dilated=True)
     zb_lo, zb_hi = bcz - br, bcz + br
     z_refine = ((zb_lo <= t_dmax[:, None] + m_lo) & (zb_hi >= t_dmin[:, None] - m_hi)) \
         | ~t_usable[:, None]
